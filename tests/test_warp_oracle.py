@@ -1,0 +1,131 @@
+"""Fidelity harness: batched TPU warp vs the OpenCV oracle.
+
+BASELINE gate: warped pixel outputs within 1e-3 of the OpenCV
+reference (measured as p99/mean; cv2 computes coordinates in float64,
+we compute displacements in float32, so isolated pixels may sit one
+1/32-px bin away — see ops/warp.py docstring).
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+from comfyui_video_stabilizer_tpu.ops import warp as W
+
+
+def _test_clip(n=4, h=120, w=160, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.random((h, w, 3)).astype(np.float32)
+    # smooth it a little so interpolation differences are content-driven
+    base = cv2.GaussianBlur(base, (5, 5), 1.2)
+    frames = np.stack([np.roll(base, i, axis=1) for i in range(n)])
+    return np.ascontiguousarray(frames, np.float32)
+
+
+def _test_matrices(n, w, h, seed=1, persp=True):
+    rng = np.random.default_rng(seed)
+    mats = []
+    for _ in range(n):
+        theta = rng.uniform(-0.03, 0.03)
+        s = np.exp(rng.uniform(-0.02, 0.02))
+        tx, ty = rng.uniform(-12, 12, 2)
+        m = np.array(
+            [
+                [s * np.cos(theta), -s * np.sin(theta), tx],
+                [s * np.sin(theta), s * np.cos(theta), ty],
+                [0.0, 0.0, 1.0],
+            ]
+        )
+        if persp:
+            m[2, 0] = rng.uniform(-1e-5, 1e-5)
+            m[2, 1] = rng.uniform(-1e-5, 1e-5)
+        mats.append(m)
+    return np.stack(mats)
+
+
+CV2_FLAGS = {
+    "bilinear": cv2.INTER_LINEAR,
+    "bicubic": cv2.INTER_CUBIC,
+    "nearest": cv2.INTER_NEAREST,
+}
+
+
+def _cv2_warp(frames, mats, out_size, interp, border):
+    outs = []
+    for f, m in zip(frames, mats):
+        outs.append(
+            cv2.warpPerspective(
+                f,
+                m.astype(np.float64),
+                out_size,
+                flags=CV2_FLAGS[interp],
+                borderMode=cv2.BORDER_CONSTANT,
+                borderValue=list(map(float, border)),
+            )
+        )
+    return np.stack(outs)
+
+
+@pytest.mark.parametrize("interp", ["bilinear", "bicubic", "nearest"])
+def test_warp_matches_opencv(interp):
+    frames = _test_clip()
+    n, h, w = frames.shape[:3]
+    mats = _test_matrices(n, w, h)
+    border = (0.3, 0.5, 0.7)
+    ours = W.warp_clip(frames, mats, (w, h), interp, border)
+    ref = _cv2_warp(frames, mats, (w, h), interp, border)
+    err = np.abs(ours - ref)
+    assert np.percentile(err, 99) <= 1e-3, f"p99 {np.percentile(err, 99)}"
+    assert err.mean() <= 2e-4, f"mean {err.mean()}"
+
+
+def test_warp_expanded_canvas():
+    frames = _test_clip()
+    n, h, w = frames.shape[:3]
+    mats = _test_matrices(n, w, h, seed=3)
+    # translate well into a larger canvas (the expand framing path)
+    shift = np.eye(3)
+    shift[0, 2], shift[1, 2] = 37.0, 21.0
+    mats = np.einsum("ij,njk->nik", shift, mats)
+    out_size = (w + 80, h + 48)
+    ours = W.warp_clip(frames, mats, out_size, "bilinear", (0, 0, 0))
+    ref = _cv2_warp(frames, mats, out_size, "bilinear", (0, 0, 0))
+    err = np.abs(ours - ref)
+    assert np.percentile(err, 99) <= 1e-3
+    assert err.mean() <= 2e-4
+
+
+def test_coverage_matches_opencv_nearest_ones():
+    frames = _test_clip()
+    n, h, w = frames.shape[:3]
+    mats = _test_matrices(n, w, h, seed=5)
+    ones = np.ones((h, w), np.float32)
+    cover = W.coverage_mask(mats, (w, h), (w, h))
+    for i in range(n):
+        ref = cv2.warpPerspective(
+            ones, mats[i], (w, h), flags=cv2.INTER_NEAREST,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0.0,
+        )
+        ref_bin = (ref > 0.5).astype(np.float32)
+        mismatch = (cover[i] != ref_bin).mean()
+        assert mismatch < 2e-4, f"frame {i}: coverage mismatch fraction {mismatch}"
+
+
+def test_identity_warp_is_exact():
+    frames = _test_clip()
+    n, h, w = frames.shape[:3]
+    mats = np.stack([np.eye(3)] * n)
+    out = W.warp_clip(frames, mats, (w, h), "bilinear", (0, 0, 0))
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_blur_zero_equals_plain():
+    frames = _test_clip()
+    n, h, w = frames.shape[:3]
+    mats = _test_matrices(n, w, h, seed=7)
+    plain = W.warp_clip(frames, mats, (w, h), "bilinear", (0.1, 0.1, 0.1))
+    samples = np.repeat(mats[:, None], 5, axis=1)  # all samples identical
+    blurred, mask = W.warp_clip_blur(frames, samples, (w, h), "bilinear", (0.1, 0.1, 0.1))
+    np.testing.assert_allclose(blurred, plain, atol=1e-6)
+    cover = W.coverage_mask(mats, (w, h), (w, h))
+    np.testing.assert_allclose(mask, 1.0 - cover, atol=1e-6)
