@@ -1,0 +1,96 @@
+"""Grayscale conversion and area resize for the estimation path.
+
+TPU-first: INTER_AREA resampling is expressed as two dense matrix
+multiplications (separable area-overlap weights, built on host since
+shapes are static) so it rides the MXU instead of a gather, replacing
+cv2.resize at /root/reference/nodes/stabilizer_utils.py:271-276.
+Grayscale is a dot with the Rec.601 luma weights, then the reference's
+"x255 -> uint8" quantization (floor) so estimation sees the same
+integer-valued intensities as the cv2 pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
+
+
+def area_weights(src: int, dst: int) -> np.ndarray:
+    """(dst, src) area-overlap weights for 1-D INTER_AREA downscale."""
+    scale = src / dst
+    w = np.zeros((dst, src), np.float64)
+    for i in range(dst):
+        lo = i * scale
+        hi = (i + 1) * scale
+        j0 = int(np.floor(lo))
+        j1 = int(np.ceil(hi))
+        for j in range(j0, min(j1, src)):
+            overlap = min(hi, j + 1) - max(lo, j)
+            if overlap > 0:
+                w[i, j] = overlap
+        w[i] /= w[i].sum()
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_weights(src: int, dst: int) -> np.ndarray:
+    return area_weights(src, dst)
+
+
+@functools.partial(jax.jit, static_argnames=("quantize",))
+def _gray_kernel(frames: jnp.ndarray, quantize: bool) -> jnp.ndarray:
+    gray = jnp.einsum("nhwc,c->nhw", frames, jnp.asarray(_LUMA))
+    if quantize:
+        gray = jnp.floor(jnp.clip(gray * 255.0, 0.0, 255.0))
+    return gray
+
+
+def make_gray(frames: np.ndarray, quantize: bool = True) -> np.ndarray:
+    """(N,H,W,3) float 0..1 -> (N,H,W) float gray.
+
+    quantize=True mimics the reference's uint8 staging (values are
+    integers 0..255 stored as float32).
+    """
+    frames = np.ascontiguousarray(frames, np.float32)
+    if frames.ndim == 3:
+        frames = frames[..., None]
+    if frames.shape[-1] == 1:
+        gray = frames[..., 0]
+        if quantize:
+            return np.asarray(jnp.floor(jnp.clip(jnp.asarray(gray) * 255.0, 0, 255)))
+        return gray
+    return np.asarray(_gray_kernel(frames, quantize))
+
+
+@jax.jit
+def _area_resize_kernel(stack: jnp.ndarray, wr: jnp.ndarray, wc: jnp.ndarray) -> jnp.ndarray:
+    # (N, H, W) x (h, H) x (w, W) -> (N, h, w): two MXU matmuls.
+    tmp = jnp.einsum("oh,nhw->now", wr, stack)
+    return jnp.einsum("pw,now->nop", wc, tmp)
+
+
+def area_resize(stack: np.ndarray, out_size: Tuple[int, int]) -> np.ndarray:
+    """INTER_AREA downscale of an (N, H, W) stack to (w, h) = out_size."""
+    out_w, out_h = int(out_size[0]), int(out_size[1])
+    n, h, w = stack.shape
+    if (out_w, out_h) == (w, h):
+        return np.ascontiguousarray(stack, np.float32)
+    wr = _cached_weights(h, out_h)
+    wc = _cached_weights(w, out_w)
+    return np.asarray(_area_resize_kernel(jnp.asarray(stack, jnp.float32), wr, wc))
+
+
+def gray_for_estimation(
+    frames: np.ndarray, working_size: Tuple[int, int] | None, quantize: bool = True
+) -> np.ndarray:
+    """Reference's _make_gray_for_estimation, batched: gray then area resize."""
+    gray = make_gray(frames, quantize=quantize)
+    if working_size is None:
+        return gray
+    return area_resize(gray, working_size)
