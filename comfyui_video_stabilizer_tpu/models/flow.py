@@ -1,0 +1,145 @@
+"""Flow (dense optical flow) estimator + stabilizer.
+
+Parity with /root/reference/nodes/video_stabilizer_flow.py:76-210:
+dense flow on the working-size grays, sampled on an 8-px grid, robust
+model fit with the same fallback chain and thresholds as Classic plus
+a mean-absolute-residual diagnostic per transition.
+
+Backend chain: the TPU DIS reformulation (ops/flow_dis.py) is always
+available, so the reference's DIS -> TV-L1 -> phase-correlation
+runtime degradation collapses to DIS -> phase-correlation (TV-L1 only
+ever existed as a cv2.optflow contingency).  A flow-kernel failure is
+caught and recorded in ``flow_fallback_reason`` exactly like the
+reference records backend degradation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..ops import flow_dis as FD
+from ..ops import phase_corr as PC
+from ..ops import ransac as RS
+from ..utils.video_io import VideoContext
+from . import geometry as G
+from .stabilize import PairFits, StabilizationResult, stabilize_clip
+
+SAMPLE_STEP = 8
+MIN_VALID = 12
+PERSP_MIN_RATIO = 0.15
+SIM_MIN_RATIO = 0.1
+
+
+def _grid_points(h: int, w: int, step: int) -> np.ndarray:
+    ys = np.arange(0, h, step, dtype=np.int32)
+    xs = np.arange(0, w, step, dtype=np.int32)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    return np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float32)
+
+
+def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> PairFits:
+    n, h, w = grays.shape
+    b = n - 1
+    extra: Dict[str, object] = {"flow_backend": "DIS", "flow_fallback_reason": None}
+
+    try:
+        flow, _conf = FD.dis_flow(grays)
+        pts = _grid_points(h, w, SAMPLE_STEP)
+        gy = pts[:, 1].astype(np.int32)
+        gx = pts[:, 0].astype(np.int32)
+        samples = flow[:, gy, gx, :]                         # (B, P, 2)
+        prev_pts = np.broadcast_to(pts[None], samples.shape).copy()
+        curr_pts = prev_pts + samples
+        valid = np.isfinite(curr_pts).all(axis=2)
+    except Exception as exc:  # degraded backend, mirrors reference chain
+        extra = {
+            "flow_backend": "phase_correlate",
+            "flow_fallback_reason": f"DIS unavailable ({exc}); using phase correlation.",
+        }
+        shifts, resp = PC.phase_correlate_batch(grays[:-1], grays[1:])
+        mats = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+        mats[:, 0, 2] = shifts[:, 0]
+        mats[:, 1, 2] = shifts[:, 1]
+        return PairFits(
+            degenerate=np.zeros(b, bool),
+            matrices={"translation": mats},
+            confidences={"translation": resp},
+            accepted={"translation": np.ones(b, bool)},
+            residuals={"translation": np.zeros(b)},
+            extra_meta=extra,
+        )
+
+    valid_counts = valid.sum(axis=1)
+    degenerate = valid_counts < MIN_VALID
+
+    matrices: Dict[str, np.ndarray] = {}
+    confidences: Dict[str, np.ndarray] = {}
+    accepted: Dict[str, np.ndarray] = {}
+    residuals: Dict[str, np.ndarray] = {}
+
+    if requested_mode == "perspective":
+        H, n_in, n_valid = RS.fit_model_batch(prev_pts, curr_pts, valid, "perspective", seed=seed)
+        conf = np.where(n_valid > 0, n_in / np.maximum(n_valid, 1), 0.0)
+        finite = np.isfinite(H).all(axis=(1, 2))
+        matrices["perspective"] = H
+        confidences["perspective"] = conf
+        accepted["perspective"] = finite & (valid_counts >= 4) & (conf >= PERSP_MIN_RATIO)
+        residuals["perspective"] = RS.reprojection_residuals(H, prev_pts, curr_pts, valid)
+
+    if requested_mode in ("perspective", "similarity"):
+        S, n_in, n_valid = RS.fit_model_batch(prev_pts, curr_pts, valid, "similarity", seed=seed + 1)
+        conf = np.where(n_valid > 0, n_in / np.maximum(n_valid, 1), 0.0)
+        finite = np.isfinite(S).all(axis=(1, 2))
+        matrices["similarity"] = S
+        confidences["similarity"] = conf
+        accepted["similarity"] = finite & (valid_counts >= 3) & (conf >= SIM_MIN_RATIO)
+        residuals["similarity"] = RS.reprojection_residuals(S, prev_pts, curr_pts, valid)
+
+    T = RS.median_translation_batch(prev_pts, curr_pts, valid)
+    matrices["translation"] = T
+    total_pts = prev_pts.shape[1]
+    confidences["translation"] = valid_counts / max(total_pts, 1)
+    accepted["translation"] = np.ones(b, bool)
+    residuals["translation"] = RS.reprojection_residuals(T, prev_pts, curr_pts, valid)
+
+    return PairFits(
+        degenerate=degenerate,
+        matrices=matrices,
+        confidences=confidences,
+        accepted=accepted,
+        residuals=residuals,
+        extra_meta=extra,
+    )
+
+
+def stabilize_flow(
+    context: VideoContext,
+    framing_mode: G.FramingMode,
+    transform_mode: G.TransformMode,
+    camera_lock: bool,
+    strength: float,
+    smooth: float,
+    keep_fov: float,
+    padding_rgb: Tuple[int, int, int],
+    frame_rate: float,
+    progress=None,
+    interrupt_check=None,
+) -> StabilizationResult:
+    return stabilize_clip(
+        context,
+        estimator=flow_estimator,
+        source_name="estimated_flow",
+        framing_mode=framing_mode,
+        transform_mode=transform_mode,
+        camera_lock=camera_lock,
+        strength=strength,
+        smooth=smooth,
+        keep_fov=keep_fov,
+        padding_rgb=padding_rgb,
+        frame_rate=frame_rate,
+        extra_meta={"flow_backend": "DIS", "flow_fallback_reason": None},
+        progress=progress,
+        interrupt_check=interrupt_check,
+    )

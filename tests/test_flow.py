@@ -1,0 +1,154 @@
+"""Flow path tests: EPE vs cv2 DIS oracle, phase correlation, end-to-end."""
+
+import cv2
+import numpy as np
+
+from comfyui_video_stabilizer_tpu.models import flow as FL
+from comfyui_video_stabilizer_tpu.ops import flow_dis as FD
+from comfyui_video_stabilizer_tpu.ops import phase_corr as PC
+from comfyui_video_stabilizer_tpu.ops import resize as R
+from comfyui_video_stabilizer_tpu.ops import warp as W
+from comfyui_video_stabilizer_tpu.utils.video_io import normalize_video_input
+
+GRAY = (127, 127, 127)
+
+
+def _scene(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.random((h, w), np.float32)
+    img = cv2.GaussianBlur(img, (0, 0), 2.5)
+    img += 0.3 * cv2.GaussianBlur(rng.random((h, w), np.float32), (0, 0), 8.0)
+    img = (img - img.min()) / (img.max() - img.min())
+    return img
+
+
+def _warped_pair(h=180, w=240, theta=0.008, tx=3.7, ty=-2.2, s=1.004, seed=0):
+    base = _scene(h + 80, w + 80, seed)
+    crop0 = np.eye(3)
+    crop0[0, 2], crop0[1, 2] = -40, -40
+    M = np.array(
+        [
+            [s * np.cos(theta), -s * np.sin(theta), tx],
+            [s * np.sin(theta), s * np.cos(theta), ty],
+            [0, 0, 1.0],
+        ]
+    )
+    frames = W.warp_clip(
+        np.stack([base, base])[..., None],
+        np.stack([crop0, crop0 @ np.linalg.inv(M)]),
+        (w, h),
+        "bilinear",
+        (0.5,),
+    )[..., 0]
+    # frame1(x) = base(M @ crop0^-1 x), so content at frame0 pixel x
+    # reappears at x' = crop0 @ M^-1 @ crop0^-1 x
+    M0 = crop0 @ np.linalg.inv(M) @ np.linalg.inv(crop0)
+    return frames * 255.0, M0
+
+
+def _true_flow(M, h, w):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    d = M[2, 0] * xx + M[2, 1] * yy + M[2, 2]
+    fx = (M[0, 0] * xx + M[0, 1] * yy + M[0, 2]) / d - xx
+    fy = (M[1, 0] * xx + M[1, 1] * yy + M[1, 2]) / d - yy
+    return np.stack([fx, fy], axis=-1)
+
+
+def test_flow_epe_vs_truth_and_cv2():
+    frames, M0 = _warped_pair()
+    h, w = frames.shape[1:]
+    flow, conf = FD.dis_flow(frames)
+    truth = _true_flow(M0, h, w)
+
+    interior = np.s_[:, 16:-16, 16:-16, :]
+    epe_ours = np.linalg.norm((flow - truth[None])[interior], axis=-1).mean()
+
+    dis = cv2.DISOpticalFlow.create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
+    dis.setFinestScale(2)
+    dis.setPatchSize(8)
+    dis.setPatchStride(4)
+    dis.setUseSpatialPropagation(True)
+    cvflow = dis.calc(frames[0].astype(np.uint8), frames[1].astype(np.uint8), None)
+    epe_cv = np.linalg.norm((cvflow[None] - truth[None])[interior], axis=-1).mean()
+
+    # both must nail the global motion; ours within 1.5x of cv2's EPE
+    # and absolutely accurate to sub-pixel
+    assert epe_ours < 0.35, f"ours EPE {epe_ours}, cv2 {epe_cv}"
+    assert epe_ours < max(3.0 * epe_cv, 0.25), f"ours {epe_ours} vs cv2 {epe_cv}"
+
+
+def test_flow_larger_translation_converges():
+    frames, M0 = _warped_pair(theta=0.0, tx=14.0, ty=-9.0, s=1.0, seed=3)
+    h, w = frames.shape[1:]
+    flow, _ = FD.dis_flow(frames)
+    truth = _true_flow(M0, h, w)
+    interior = np.s_[20:-20, 20:-20]
+    err = np.linalg.norm(flow[0][interior] - truth[interior], axis=-1)
+    assert np.median(err) < 0.5, np.median(err)
+
+
+def test_phase_correlate_sign_matches_cv2():
+    # circular shifts make phase correlation exact for both, isolating
+    # the sign/convention comparison from border effects
+    img = _scene(128, 160, seed=4).astype(np.float32) * 255
+    for sx, sy in [(5, 3), (-7, 2)]:
+        curr = np.roll(np.roll(img, sy, axis=0), sx, axis=1)
+        ref_shift, _ = cv2.phaseCorrelate(img.astype(np.float64), curr.astype(np.float64))
+        shifts, resp = PC.phase_correlate_batch(img[None], curr[None])
+        assert abs(shifts[0, 0] - ref_shift[0]) < 0.05, (shifts[0], ref_shift)
+        assert abs(shifts[0, 1] - ref_shift[1]) < 0.05, (shifts[0], ref_shift)
+        assert resp[0] > 0.5
+
+
+def test_flow_estimator_recovers_similarity():
+    frames, M0 = _warped_pair(seed=6)
+    fits = FL.flow_estimator(frames, "similarity")
+    assert not fits.degenerate.any()
+    assert fits.accepted["similarity"].all()
+    S = fits.matrices["similarity"][0]
+    np.testing.assert_allclose(S, M0, atol=0.3)  # translation within 0.3 px
+    np.testing.assert_allclose(S[:2, :2], M0[:2, :2], atol=2e-3)
+    assert fits.residuals["similarity"][0] < 0.5
+    assert fits.extra_meta["flow_backend"] == "DIS"
+
+
+def test_flow_stabilize_end_to_end():
+    h, w, n = 144, 192, 8
+    base = _scene(h + 80, w + 80, 8)
+    rng = np.random.default_rng(9)
+    mats = [np.eye(3)]
+    for _ in range(n - 1):
+        th = rng.uniform(-0.008, 0.008)
+        t = rng.uniform(-2.5, 2.5, 2)
+        d = np.array([[np.cos(th), -np.sin(th), t[0]], [np.sin(th), np.cos(th), t[1]], [0, 0, 1.0]])
+        mats.append(d @ mats[-1])
+    crop = np.eye(3)
+    crop[0, 2] = crop[1, 2] = -40
+    view = np.stack([crop @ np.linalg.inv(m) for m in mats])
+    frames = W.warp_clip(np.repeat(base[None, ..., None], n, 0), view, (w, h), "bilinear", (0.5,))
+    frames = np.repeat(frames, 3, axis=-1)
+
+    ctx = normalize_video_input(frames)
+    res = FL.stabilize_flow(ctx, "crop_and_pad", "similarity", False, 0.9, 0.7, 0.6, GRAY, 16.0)
+    meta = res.meta
+    assert meta["flow_backend"] == "DIS"
+    assert meta["transform_mode_applied"] == "similarity"
+    assert all(t["confidence"] > 0.3 for t in meta["estimated_motion"]["per_transition"])
+    orig_diff = np.abs(np.diff(frames, axis=0)).mean()
+    stab_diff = np.abs(np.diff(res.frames[:, 20:-20, 20:-20], axis=0)).mean()
+    assert stab_diff < orig_diff * 0.8
+
+    # replay bit-exactness
+    from comfyui_video_stabilizer_tpu.models import motion_apply as MA
+
+    replay = MA.apply_motion(normalize_video_input(frames), meta, GRAY)
+    np.testing.assert_array_equal(replay.frames, res.frames)
+
+
+def test_flow_perspective_mode_runs():
+    frames, M0 = _warped_pair(seed=11)
+    n = 2
+    fits = FL.flow_estimator(frames, "perspective")
+    assert "perspective" in fits.matrices
+    # with a similarity ground truth, perspective fit should still be accepted
+    assert fits.accepted["perspective"][0] or fits.accepted["similarity"][0]
