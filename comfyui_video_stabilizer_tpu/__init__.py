@@ -32,8 +32,8 @@ from .meta.motion_meta import (  # noqa: F401
 )
 
 
-def comfy_entrypoint():
+async def comfy_entrypoint():
     """ComfyUI extension entrypoint (kept lazy: nodes import jax)."""
     from .nodes import comfy_entrypoint as _entry
 
-    return _entry()
+    return await _entry()

@@ -1,0 +1,187 @@
+"""Single-jit, mesh-sharded stabilization step.
+
+The host-orchestrated pipelines in ``models/`` favor exact reference
+parity (host float64 trajectory math); this module is the pure-device
+counterpart: ONE jitted program covering the sequence-global patterns
+of SURVEY 2.10 — pairwise estimation with an implicit halo exchange
+(shifted slicing of the frame-sharded clip), path integration as a
+log-depth associative scan, fps-windowed smoothing as a temporal
+convolution, global bounding-box reductions, and the batched warp —
+so the whole clip stabilizes across a ``jax.sharding.Mesh`` with XLA
+inserting the collectives.
+
+Estimation inside the jit uses the batched FFT phase-correlation
+backend (translation model): it is exact for the dominant use case of
+the single-jit path (throughput-critical translational shake) and
+keeps the step free of host round-trips; the full LK/DIS estimators
+remain available through the host pipelines.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
+
+
+def _constrain(x: jnp.ndarray, spec: Tuple) -> jnp.ndarray:
+    """Apply a sharding constraint when running under a mesh context.
+
+    Keeps the FFT stage on whole (H, W) planes per shard (XLA CPU's FFT
+    thunk requires major-contiguous layouts) while the pixel stages
+    shard rows.  A no-op without a mesh so entry() stays single-chip.
+    """
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or not mesh.axis_names:
+            return x
+        return jax.lax.with_sharding_constraint(x, P(*spec))
+    except Exception:
+        return x
+
+
+def _phase_correlate_pairs(grays: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) -> per-pair translation deltas (N-1, 2) via FFT."""
+    prev = grays[:-1]
+    curr = grays[1:]
+    prev = prev - prev.mean(axis=(1, 2), keepdims=True)
+    curr = curr - curr.mean(axis=(1, 2), keepdims=True)
+    B, H, W = prev.shape
+    f1 = jnp.fft.rfft2(prev)
+    f2 = jnp.fft.rfft2(curr)
+    cross = f1 * jnp.conj(f2)
+    mag = jnp.abs(cross)
+    r = jnp.fft.irfft2(cross / jnp.where(mag < 1e-12, 1.0, mag), s=(H, W))
+    flat = r.reshape(B, -1)
+    peak = jnp.argmax(flat, axis=-1)
+    py = (peak // W).astype(jnp.float32)
+    px = (peak % W).astype(jnp.float32)
+    py = jnp.where(py > H / 2, py - H, py)
+    px = jnp.where(px > W / 2, px - W, px)
+    return -jnp.stack([px, py], axis=-1)
+
+
+def _smooth(path: jnp.ndarray, window: int) -> jnp.ndarray:
+    pad = window // 2
+    padded = jnp.pad(path, ((pad, pad), (0, 0)), mode="edge")
+    kernel = jnp.full((window,), 1.0 / window, path.dtype)
+    return jax.vmap(
+        lambda col: jnp.convolve(col, kernel, mode="valid"), in_axes=1, out_axes=1
+    )(padded)
+
+
+def _translation_warp(frames: jnp.ndarray, offsets: jnp.ndarray, border: jnp.ndarray):
+    """Warp each frame by its (tx, ty) with bilinear sampling + mask.
+
+    Expressed with static rolls of the integer part + a 4-tap blend of
+    the fraction, so it stays collective-friendly when H is sharded.
+    """
+    n, h, w, c = frames.shape
+    tx = offsets[:, 0]
+    ty = offsets[:, 1]
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    fx = (tx - x0)[:, None, None, None]
+    fy = (ty - y0)[:, None, None, None]
+
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[None]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[None]
+    sx = xx - tx[:, None, None]
+    sy = yy - ty[:, None, None]
+
+    # one dynamic slice per frame via vmap (the production pixel path is
+    # ops/warp; this keeps the single-jit step gather-free and shardable).
+    PAD = 16  # integer shifts beyond +-PAD px are masked as padding anyway
+
+    def one(frame, ix, iy, fxs, fys):
+        ixc = jnp.clip(ix.astype(jnp.int32), -PAD, PAD)
+        iyc = jnp.clip(iy.astype(jnp.int32), -PAD, PAD)
+        padded = jnp.pad(frame, ((PAD, PAD), (PAD, PAD), (0, 0)))
+        base = jax.lax.dynamic_slice(
+            padded,
+            (PAD - iyc, PAD - ixc, 0),
+            (h + 1, w + 1, c),
+        )
+        v = (
+            base[:-1, :-1] * (1 - fys) * (1 - fxs)
+            + base[:-1, 1:] * (1 - fys) * fxs
+            + base[1:, :-1] * fys * (1 - fxs)
+            + base[1:, 1:] * fys * fxs
+        )
+        return v
+
+    warped = jax.vmap(one)(frames, x0, y0, fx[:, 0, 0], fy[:, 0, 0])
+    shift_ok = (jnp.abs(x0) <= 16) & (jnp.abs(y0) <= 16)
+    inside = (
+        (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    ) & shift_ok[:, None, None]
+    warped = jnp.where(inside[..., None], warped, border[None, None, None, :])
+    mask = 1.0 - inside.astype(jnp.float32)
+    return warped, mask
+
+
+def stabilize_step(
+    frames: jnp.ndarray,
+    strength: float,
+    window: int,
+    border: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Whole-clip translational stabilization, single traced program."""
+    grays = jnp.einsum("nhwc,c->nhw", frames, jnp.asarray(_LUMA))
+    grays = _constrain(grays, ("data", None, None))
+    deltas = _phase_correlate_pairs(grays)
+    deltas = _constrain(deltas, (None, None))
+
+    # path integration: log-depth scan keeps the sharded time axis busy
+    path = jnp.concatenate(
+        [jnp.zeros((1, 2), deltas.dtype), jax.lax.associative_scan(jnp.add, deltas, axis=0)]
+    )
+    target = path + strength * (_smooth(path, window) - path)
+    corrections = target - path
+
+    # crop_and_pad recenter: global reduction over the sharded clip
+    n, h, w, _ = frames.shape
+    x0 = jnp.max(-corrections[:, 0])
+    y0 = jnp.max(-corrections[:, 1])
+    x1 = jnp.min(-corrections[:, 0] + w)
+    y1 = jnp.min(-corrections[:, 1] + h)
+    offset = jnp.stack([w * 0.5 - (x0 + x1) * 0.5, h * 0.5 - (y0 + y1) * 0.5])
+    total = corrections + offset[None]
+
+    frames = _constrain(frames, ("data", "spatial", None, None))
+    warped, masks = _translation_warp(frames, total, border)
+    warped = _constrain(warped, ("data", "spatial", None, None))
+    masks = _constrain(masks, ("data", "spatial", None))
+    return warped, masks, total
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def jit_stabilize_step(frames, strength, window, border):
+    return stabilize_step(frames, strength, window, border)
+
+
+def sharded_stabilize(
+    frames: np.ndarray,
+    mesh: Mesh,
+    strength: float = 1.0,
+    window: int = 5,
+    border: Tuple[float, float, float] = (0.5, 0.5, 0.5),
+):
+    """Run the single-jit step with the clip sharded over the mesh.
+
+    frames: (N, H, W, 3); N sharded over 'data', H over 'spatial'.
+    """
+    in_spec = P("data", "spatial", None, None)
+    frames_sharded = jax.device_put(
+        np.asarray(frames, np.float32), NamedSharding(mesh, in_spec)
+    )
+    border_arr = jnp.asarray(border, jnp.float32)
+    with jax.sharding.set_mesh(mesh):
+        out = jit_stabilize_step(frames_sharded, jnp.float32(strength), int(window), border_arr)
+    return tuple(np.asarray(o) for o in out)

@@ -222,6 +222,8 @@ def reconstruct_video(frames: Any, context: VideoContext) -> Any:
         else:
             stacked = np.stack(frame_list, axis=0)
     stacked = np.ascontiguousarray(stacked, dtype=np.float32)
+    if not stacked.flags.writeable:
+        stacked = stacked.copy()  # torch.from_numpy requires a writable buffer
     tensor = torch.from_numpy(stacked) if torch is not None else stacked
 
     if context.template_kind == "dict":
@@ -246,6 +248,8 @@ def convert_masks_for_output(masks: Any) -> Any:
         stacked = np.stack(masks_2d, axis=0) if masks_2d else np.zeros((1, 1, 1), dtype=np.float32)
 
     stacked = np.ascontiguousarray(stacked, dtype=np.float32)
+    if not stacked.flags.writeable:
+        stacked = stacked.copy()
     if torch is not None:
         return torch.from_numpy(stacked)
     return stacked
