@@ -1,0 +1,96 @@
+"""Pallas warp kernel: exact equivalence with the XLA reference path.
+
+Runs in Pallas interpret mode on CPU; the same kernel runs compiled on
+TPU (device smoke test lives in scripts/device_smoke.py).
+"""
+
+import numpy as np
+import pytest
+
+from comfyui_video_stabilizer_tpu.ops import warp as W
+from comfyui_video_stabilizer_tpu.ops import warp_pallas as WP
+
+
+def _frames(n=2, h=96, w=160, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.random((n, h, w, 3), dtype=np.float32)
+
+
+def _mats(n, seed=1, rot=0.01, t=8.0, persp=0.0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        th = rng.uniform(-rot, rot)
+        s = np.exp(rng.uniform(-0.01, 0.01))
+        tx, ty = rng.uniform(-t, t, 2)
+        m = np.array(
+            [
+                [s * np.cos(th), -s * np.sin(th), tx],
+                [s * np.sin(th), s * np.cos(th), ty],
+                [persp, -persp / 2, 1.0],
+            ]
+        )
+        out.append(m)
+    return np.stack(out)
+
+
+def _run_both(frames, mats, out_size, interp, border):
+    coeffs = W.prepare_inverse_coeffs(mats)
+    pallas_out = WP.warp_clip_pallas(
+        frames, mats, coeffs, out_size, interp, border, interpret=True
+    )
+    assert pallas_out is not None, "pallas path unexpectedly rejected config"
+    xla_out = np.asarray(
+        W._warp_xla(frames, coeffs.astype(np.float32), np.asarray(border, np.float32),
+                    out_size[1], out_size[0], interp)
+    )
+    return pallas_out, xla_out
+
+
+@pytest.mark.parametrize("interp", ["bilinear", "bicubic"])
+def test_pallas_matches_xla(interp):
+    frames = _frames()
+    n, h, w = frames.shape[:3]
+    mats = _mats(n)
+    ours, ref = _run_both(frames, mats, (w, h), interp, (0.2, 0.4, 0.6))
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_pallas_expand_canvas():
+    frames = _frames(n=2)
+    n, h, w = frames.shape[:3]
+    mats = _mats(n, seed=3)
+    shift = np.eye(3)
+    shift[0, 2], shift[1, 2] = 31.0, 17.0
+    mats = np.einsum("ij,njk->nik", shift, mats)
+    out_size = (w + 64, h + 40)
+    ours, ref = _run_both(frames, mats, out_size, "bilinear", (0, 0, 0))
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_pallas_perspective():
+    frames = _frames(n=2, h=128, w=192)
+    n, h, w = frames.shape[:3]
+    mats = _mats(n, seed=5, persp=2e-5)
+    ours, ref = _run_both(frames, mats, (w, h), "bilinear", (0.5, 0.5, 0.5))
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_pallas_identity_exact():
+    frames = _frames(n=2)
+    n, h, w = frames.shape[:3]
+    mats = np.stack([np.eye(3)] * n)
+    coeffs = W.prepare_inverse_coeffs(mats)
+    out = WP.warp_clip_pallas(frames, mats, coeffs, (w, h), "bilinear",
+                              (0, 0, 0), interpret=True)
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_pallas_rejects_wild_warp():
+    frames = _frames(n=1)
+    n, h, w = frames.shape[:3]
+    mats = np.array([[[3.0, 0, 0], [0, 3.0, 0], [0, 0, 1.0]]])  # 3x zoom-out
+    coeffs = W.prepare_inverse_coeffs(mats)
+    out = WP.warp_clip_pallas(frames, mats, coeffs, (w, h), "bilinear",
+                              (0, 0, 0), interpret=True)
+    assert out is None  # displacement span exceeds the largest K variant
