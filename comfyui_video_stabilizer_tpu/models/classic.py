@@ -40,7 +40,8 @@ def classic_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) 
     curr_pyr = [lvl[1:] for lvl in pyr]
     tracked, status = LK.lk_track(prev_pyr, curr_pyr, pts, det_counts)
 
-    surv_counts = status.sum(axis=1)
+    status_np = np.asarray(status)
+    surv_counts = status_np.sum(axis=1)
     degenerate = (det_counts < MIN_FEATURES) | (surv_counts < MIN_TRACKS)
 
     matrices: Dict[str, np.ndarray] = {}

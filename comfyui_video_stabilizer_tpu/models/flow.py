@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops import flow_dis as FD
@@ -46,19 +47,18 @@ def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> 
 
     try:
         flow, _conf = FD.dis_flow(grays)
+        # stride-8 grid sampling is a strided slice, not a gather
+        samples = flow[:, ::SAMPLE_STEP, ::SAMPLE_STEP, :].reshape(b, -1, 2)
         pts = _grid_points(h, w, SAMPLE_STEP)
-        gy = pts[:, 1].astype(np.int32)
-        gx = pts[:, 0].astype(np.int32)
-        samples = flow[:, gy, gx, :]                         # (B, P, 2)
-        prev_pts = np.broadcast_to(pts[None], samples.shape).copy()
+        prev_pts = jnp.broadcast_to(jnp.asarray(pts)[None], samples.shape)
         curr_pts = prev_pts + samples
-        valid = np.isfinite(curr_pts).all(axis=2)
+        valid = np.asarray(jnp.isfinite(curr_pts).all(axis=2))
     except Exception as exc:  # degraded backend, mirrors reference chain
         extra = {
             "flow_backend": "phase_correlate",
             "flow_fallback_reason": f"DIS unavailable ({exc}); using phase correlation.",
         }
-        shifts, resp = PC.phase_correlate_batch(grays[:-1], grays[1:])
+        shifts, resp = PC.phase_correlate_batch(np.asarray(grays[:-1]), np.asarray(grays[1:]))
         mats = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
         mats[:, 0, 2] = shifts[:, 0]
         mats[:, 1, 2] = shifts[:, 1]

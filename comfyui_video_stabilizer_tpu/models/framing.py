@@ -260,6 +260,7 @@ def refine_no_padding_crop(
     common = cover.min(axis=0) if cover.shape[0] else np.ones((height, width), np.float32)
     if safety_shrink_px > 0:
         common = M.erode(common[None], safety_shrink_px)[0]
+    common = np.asarray(common)  # host copy for the rectangle search
 
     def bail() -> Tuple[np.ndarray, np.ndarray, List[float], List[float], float]:
         return (

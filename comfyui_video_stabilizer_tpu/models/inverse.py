@@ -20,8 +20,8 @@ from ..utils.video_io import VideoContext
 
 @dataclass
 class InverseStabilizationResult:
-    frames: np.ndarray
-    masks: np.ndarray
+    frames: Any  # device-resident
+    masks: Any
     meta: Dict[str, Any]
 
 
@@ -107,8 +107,7 @@ def apply_inverse_stabilization(
     )
     restored = W.warp_clip(context.frames, inverses, source_size, "bilinear", border)
     cover = W.coverage_mask(inverses, (context.width, context.height), source_size)
-    masks = 1.0 - cover
-    masks[masks < 1e-3] = 0.0
+    masks = W.zero_small(1.0 - cover)
 
     result_meta = dict(meta)
     result_meta["inverse_stabilization"] = {

@@ -26,6 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Literal, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..meta.motion_meta import (
@@ -44,8 +45,8 @@ ProgressCallback = Callable[[], None]
 
 @dataclass
 class MotionApplyResult:
-    frames: np.ndarray
-    masks: np.ndarray
+    frames: Any  # (N, H, W, 3) float32, device-resident
+    masks: Any   # (N, H, W) float32, device-resident
     meta: Dict[str, Any]
 
 
@@ -123,20 +124,15 @@ def blurred_sample_matrices(matrices: np.ndarray, motion_blur: float, sample_cou
     return mats[:, None] + delta[:, None] * ts[None, :, None, None]
 
 
-def _zero_small(mask: np.ndarray) -> np.ndarray:
-    mask[mask < 1e-3] = 0.0
-    return mask
-
-
 def _warp_plain(context, matrices, output_size, interp, padding_rgb, masks_zero, progress):
     border = _border_rgb(context, padding_rgb)
     frames = W.warp_clip(context.frames, matrices, output_size, interp, border)
     out_w, out_h = output_size
     if masks_zero:
-        masks = np.zeros((frames.shape[0], out_h, out_w), np.float32)
+        masks = jnp.zeros((frames.shape[0], out_h, out_w), jnp.float32)
     else:
         cover = W.coverage_mask(matrices, (context.width, context.height), output_size)
-        masks = _zero_small(1.0 - cover)
+        masks = W.zero_small(1.0 - cover)
     if progress is not None:
         for _ in range(frames.shape[0]):
             progress()
@@ -155,7 +151,7 @@ def _warp_blur(context, matrices, output_size, interp, padding_rgb,
     )
     out_w, out_h = output_size
     if masks_zero or mask is None:
-        mask = np.zeros((frames.shape[0], out_h, out_w), np.float32)
+        mask = jnp.zeros((frames.shape[0], out_h, out_w), jnp.float32)
     if progress is not None:
         for _ in range(frames.shape[0] * sample_count):
             progress()
@@ -170,8 +166,10 @@ def common_valid_mask(
 ) -> np.ndarray:
     """AND of all per-frame coverage masks — one batched min-reduce."""
     cover = W.coverage_mask(matrices, input_size, output_size)
-    common = cover.min(axis=0) > 0.5 if cover.shape[0] else np.ones(
-        (output_size[1], output_size[0]), bool
+    common = (
+        np.asarray(cover.min(axis=0)) > 0.5
+        if cover.shape[0]
+        else np.ones((output_size[1], output_size[0]), bool)
     )
     if progress_callback is not None:
         for _ in range(cover.shape[0]):

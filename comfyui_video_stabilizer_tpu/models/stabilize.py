@@ -407,9 +407,10 @@ def stabilize_clip(
     stabilized, padding_masks = W.warp_clip_with_mask(
         frames, final_matrices, output_size, "bilinear", border
     )
-    padding_masks[padding_masks < 1e-3] = 0.0
-    padded_ratios = padding_masks.reshape(total_frames, -1).mean(axis=1)
-    padding_detected = bool((padding_masks.reshape(total_frames, -1).max(axis=1) > 1e-3).any())
+    # only the tiny per-frame stats leave the device
+    padded_ratios = np.asarray(padding_masks.reshape(total_frames, -1).mean(axis=1))
+    padding_detected = bool((padded_ratios > 0).any() or
+                            float(padding_masks.max()) > 1e-3)
     framing_meta["padding_detected"] = padding_detected
     _tick(progress_total, progress_total)
 

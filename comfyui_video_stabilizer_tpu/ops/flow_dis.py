@@ -63,7 +63,7 @@ def _down2(stack: jnp.ndarray) -> jnp.ndarray:
     return x.mean(axis=(2, 4))
 
 
-def build_pyramid(stack: np.ndarray, coarsest: int) -> List[jnp.ndarray]:
+def build_pyramid(stack, coarsest: int) -> List[jnp.ndarray]:
     pyr = [jnp.asarray(stack, jnp.float32)]
     for _ in range(coarsest):
         pyr.append(_down2(pyr[-1]))
@@ -268,12 +268,14 @@ def dis_flow(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Dense flow for all adjacent pairs of a gray clip.
 
-    grays: (N, H, W) float (0..255).  Returns (flow (N-1, H, W, 2)
-    float32 at full working resolution, conf (N-1, Hf, Wf)).
+    grays: (N, H, W) float (0..255), numpy or device.  Returns
+    DEVICE-resident (flow (N-1, H, W, 2) float32 at full working
+    resolution, conf (N-1, Hf, Wf)).
     """
     n, h, w = grays.shape
     if n < 2:
-        return np.zeros((0, h, w, 2), np.float32), np.zeros((0, h, w), np.float32)
+        return jnp.zeros((0, h, w, 2), jnp.float32), jnp.zeros((0, h, w), jnp.float32)
+    grays = jnp.asarray(grays, jnp.float32)
     I_full = grays[:-1]
     J_full = grays[1:]
     b = n - 1
@@ -291,15 +293,10 @@ def dis_flow(
         Il = pyr_I[lvl]
         Jl = pyr_J[lvl]
         hl, wl = Il.shape[1:]
-        # pre-warp J to I's frame: sample J at M(x)  <=>  warp J by M^-1
-        Jw = W.warp_clip(
-            np.asarray(Jl)[..., None],
-            np.linalg.inv(M),
-            (wl, hl),
-            "bilinear",
-            (0.0,),
-        )[..., 0]
-        residual, conf = _residual_flow(Il, jnp.asarray(Jw), radius, patch)
+        # pre-warp J to I's frame: sample J at M(x)  <=>  warp J by M^-1;
+        # Jl never leaves the device, only the (B, 3, 3) fit round-trips
+        Jw = W.warp_clip(Jl[..., None], np.linalg.inv(M), (wl, hl), "bilinear", (0.0,))[..., 0]
+        residual, conf = _residual_flow(Il, Jw, radius, patch)
         flow_level = _compose_flow(jnp.asarray(M, jnp.float32), residual)
         return flow_level, conf
 
@@ -326,16 +323,15 @@ def dis_flow(
         M = fit(flow_level, conf_level)
         flow_level, conf_level = refine_at(finest, M)
 
-    # upscale the finest-level flow to working resolution
+    # upscale the finest-level flow to working resolution (on device)
     flow = flow_level
-    hl, wl = pyr_I[finest].shape[1:]
     lvl = finest
     while lvl > 0:
         nh = pyr_I[lvl - 1].shape[1]
         nw = pyr_I[lvl - 1].shape[2]
         flow = _upsample2_flow(flow, nh, nw)
         lvl -= 1
-    return np.asarray(flow, np.float32), np.asarray(conf_level, np.float32)
+    return flow, conf_level
 
 
 def _scale_matrix_batch(M: np.ndarray, factor: float) -> np.ndarray:

@@ -79,7 +79,7 @@ def _nms_candidates(eig: jnp.ndarray):
     return scores
 
 
-def gftt_batch(grays: np.ndarray, max_corners: int = MAX_CORNERS):
+def gftt_batch(grays, max_corners: int = MAX_CORNERS):
     """(B, H, W) -> (pts (B, max_corners, 2) f32, counts (B,) int).
 
     Candidate scoring + NMS is batched on device; the min-distance
@@ -139,12 +139,10 @@ def _pyr_down(stack: jnp.ndarray) -> jnp.ndarray:
     return blurred[:, ::2, ::2]
 
 
-def gaussian_pyramid(stack: np.ndarray, levels: int = MAX_LEVEL) -> List[np.ndarray]:
-    pyr = [np.asarray(stack, np.float32)]
-    cur = jnp.asarray(stack, jnp.float32)
+def gaussian_pyramid(stack, levels: int = MAX_LEVEL) -> List[jnp.ndarray]:
+    pyr = [jnp.asarray(stack, jnp.float32)]
     for _ in range(levels):
-        cur = _pyr_down(cur)
-        pyr.append(np.asarray(cur))
+        pyr.append(_pyr_down(pyr[-1]))
     return pyr
 
 
@@ -264,13 +262,13 @@ def lk_track(
     tracked = np.zeros_like(pts)
     status = np.zeros((B, F), bool)
 
-    # Precompute derivative stacks per level once (batched conv).
+    # Precompute derivative stacks per level once (batched conv, on device).
     dIx_levels = []
     dIy_levels = []
     for lvl in range(max_level + 1):
         I_stack = jnp.asarray(prev_pyr[lvl])
-        dIx_levels.append(np.asarray(_conv2(I_stack, _SCHARR_LK_X / 32.0)))
-        dIy_levels.append(np.asarray(_conv2(I_stack, _SCHARR_LK_Y / 32.0)))
+        dIx_levels.append(_conv2(I_stack, _SCHARR_LK_X / 32.0))
+        dIy_levels.append(_conv2(I_stack, _SCHARR_LK_Y / 32.0))
 
     guesses = pts / (2.0 ** max_level)
     pts_scaled = {lvl: pts / (2.0 ** lvl) for lvl in range(max_level + 1)}
@@ -298,4 +296,4 @@ def lk_track(
             g = g * 2.0
         valid = valid & status_l
 
-    return np.asarray(g), np.asarray(valid)
+    return g, valid  # device arrays; consumers are the RANSAC device fits

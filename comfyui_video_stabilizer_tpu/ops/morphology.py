@@ -33,17 +33,17 @@ def _minpool(stack: jnp.ndarray, radius: int) -> jnp.ndarray:
     )
 
 
-def dilate(stack: np.ndarray, radius: int = 1) -> np.ndarray:
+def dilate(stack, radius: int = 1) -> jnp.ndarray:
     """Batched square dilation; edge behavior matches cv2 (replicate-safe
     for binary masks: cv2 uses +inf/-inf padding semantics for max/min)."""
-    return np.asarray(_maxpool(jnp.asarray(stack, jnp.float32), radius))
+    return _maxpool(jnp.asarray(stack, jnp.float32), radius)
 
 
-def erode(stack: np.ndarray, radius: int = 1) -> np.ndarray:
+def erode(stack, radius: int = 1) -> jnp.ndarray:
     # cv2.erode pads with +inf for min-filter, i.e. borders erode inward
     # only based on in-image values; reduce_window 'SAME' with +inf init
     # matches that.
-    return np.asarray(_minpool(jnp.asarray(stack, jnp.float32), radius))
+    return _minpool(jnp.asarray(stack, jnp.float32), radius)
 
 
 @jax.jit

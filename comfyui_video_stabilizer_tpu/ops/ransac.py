@@ -213,37 +213,67 @@ def fit_model_batch(
     return np.asarray(H), np.asarray(n_in), np.asarray(n_valid)
 
 
-def median_translation_batch(
-    prev_pts: np.ndarray, curr_pts: np.ndarray, valid: np.ndarray
-) -> np.ndarray:
-    """Median point shift per pair -> (B, 3, 3) translation matrices."""
+@jax.jit
+def _masked_median_shift(prev_pts, curr_pts, valid):
+    """np.median semantics per pair under a validity mask, on device."""
+    shifts = curr_pts - prev_pts                                # (B, P, 2)
+    big = jnp.float32(3.0e38)
+    masked = jnp.where(valid[..., None], shifts, big)
+    srt = jnp.sort(masked, axis=1)
+    v = valid.sum(axis=1)                                       # (B,)
+    lo = jnp.maximum((v - 1) // 2, 0)
+    hi = v // 2
+    take = lambda idx: jnp.take_along_axis(srt, idx[:, None, None].repeat(2, 2), axis=1)[:, 0]
+    med = 0.5 * (take(lo) + take(hi))
+    return jnp.where((v > 0)[:, None], med, 0.0)
+
+
+def median_translation_batch(prev_pts, curr_pts, valid) -> np.ndarray:
+    """Median point shift per pair -> (B, 3, 3) translation matrices.
+
+    Points stay on device; only the (B, 2) medians come back to host.
+    """
     B = prev_pts.shape[0]
     out = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
-    for b in range(B):
-        v = valid[b]
-        if not v.any():
-            continue
-        shift = np.median(curr_pts[b][v] - prev_pts[b][v], axis=0)
-        out[b, 0, 2] = shift[0]
-        out[b, 1, 2] = shift[1]
+    if B == 0:
+        return out
+    med = np.asarray(
+        _masked_median_shift(
+            jnp.asarray(prev_pts, jnp.float32),
+            jnp.asarray(curr_pts, jnp.float32),
+            jnp.asarray(valid, bool),
+        )
+    )
+    out[:, 0, 2] = med[:, 0]
+    out[:, 1, 2] = med[:, 1]
     return out
 
 
-def reprojection_residuals(
-    matrices: np.ndarray, prev_pts: np.ndarray, curr_pts: np.ndarray, valid: np.ndarray
-) -> np.ndarray:
+@jax.jit
+def _residuals_kernel(matrices, prev_pts, curr_pts, valid):
+    m = matrices.astype(jnp.float32)
+    proj = jnp.einsum("bij,bpj->bpi", m[:, :2, :2], prev_pts) + m[:, None, :2, 2]
+    err = jnp.abs(proj - curr_pts)
+    w = valid[..., None].astype(jnp.float32)
+    total = (err * w).sum(axis=(1, 2))
+    count = jnp.maximum(w.sum(axis=(1, 2)), 1.0)
+    return jnp.where(valid.any(axis=1), total / count, 0.0)
+
+
+def reprojection_residuals(matrices, prev_pts, curr_pts, valid) -> np.ndarray:
     """Mean |affine-projected prev - curr| per pair (flow's residual metric).
 
     Matches the reference's residual definition, which applies only the
-    affine part (video_stabilizer_flow.py:174,189,207).
+    affine part (video_stabilizer_flow.py:174,189,207); device-side.
     """
-    B = matrices.shape[0]
-    out = np.zeros(B)
-    for b in range(B):
-        v = valid[b]
-        if not v.any():
-            continue
-        m = matrices[b]
-        proj = prev_pts[b][v] @ m[:2, :2].T + m[:2, 2]
-        out[b] = float(np.abs(proj - curr_pts[b][v]).mean())
-    return out
+    if matrices.shape[0] == 0:
+        return np.zeros(0)
+    return np.asarray(
+        _residuals_kernel(
+            jnp.asarray(matrices, jnp.float32),
+            jnp.asarray(prev_pts, jnp.float32),
+            jnp.asarray(curr_pts, jnp.float32),
+            jnp.asarray(valid, bool),
+        ),
+        np.float64,
+    )

@@ -51,21 +51,21 @@ def _gray_kernel(frames: jnp.ndarray, quantize: bool) -> jnp.ndarray:
     return gray
 
 
-def make_gray(frames: np.ndarray, quantize: bool = True) -> np.ndarray:
-    """(N,H,W,3) float 0..1 -> (N,H,W) float gray.
+def make_gray(frames, quantize: bool = True) -> jnp.ndarray:
+    """(N,H,W,3) float 0..1 -> (N,H,W) float gray, device-resident.
 
     quantize=True mimics the reference's uint8 staging (values are
     integers 0..255 stored as float32).
     """
-    frames = np.ascontiguousarray(frames, np.float32)
+    frames = jnp.asarray(frames, jnp.float32)
     if frames.ndim == 3:
         frames = frames[..., None]
     if frames.shape[-1] == 1:
         gray = frames[..., 0]
         if quantize:
-            return np.asarray(jnp.floor(jnp.clip(jnp.asarray(gray) * 255.0, 0, 255)))
+            return jnp.floor(jnp.clip(gray * 255.0, 0, 255))
         return gray
-    return np.asarray(_gray_kernel(frames, quantize))
+    return _gray_kernel(frames, quantize)
 
 
 @jax.jit
@@ -75,20 +75,20 @@ def _area_resize_kernel(stack: jnp.ndarray, wr: jnp.ndarray, wc: jnp.ndarray) ->
     return jnp.einsum("pw,now->nop", wc, tmp)
 
 
-def area_resize(stack: np.ndarray, out_size: Tuple[int, int]) -> np.ndarray:
-    """INTER_AREA downscale of an (N, H, W) stack to (w, h) = out_size."""
+def area_resize(stack, out_size: Tuple[int, int]) -> jnp.ndarray:
+    """INTER_AREA downscale of an (N, H, W) stack to (w, h), on device."""
     out_w, out_h = int(out_size[0]), int(out_size[1])
     n, h, w = stack.shape
     if (out_w, out_h) == (w, h):
-        return np.ascontiguousarray(stack, np.float32)
+        return jnp.asarray(stack, jnp.float32)
     wr = _cached_weights(h, out_h)
     wc = _cached_weights(w, out_w)
-    return np.asarray(_area_resize_kernel(jnp.asarray(stack, jnp.float32), wr, wc))
+    return _area_resize_kernel(jnp.asarray(stack, jnp.float32), wr, wc)
 
 
 def gray_for_estimation(
-    frames: np.ndarray, working_size: Tuple[int, int] | None, quantize: bool = True
-) -> np.ndarray:
+    frames, working_size: Tuple[int, int] | None, quantize: bool = True
+) -> jnp.ndarray:
     """Reference's _make_gray_for_estimation, batched: gray then area resize."""
     gray = make_gray(frames, quantize=quantize)
     if working_size is None:

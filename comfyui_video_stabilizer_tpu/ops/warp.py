@@ -241,8 +241,15 @@ def _coverage_xla(coeffs, out_h, out_w, in_h, in_w):
 
 
 # ---------------------------------------------------------------------------
-# Public API (host orchestration; frames/matrices arrive as numpy)
+# Public API (device-resident pixels; host-resident matrices)
 # ---------------------------------------------------------------------------
+
+
+def _device_frames(frames) -> jnp.ndarray:
+    """Upload numpy input once; pass device arrays through untouched."""
+    if isinstance(frames, jnp.ndarray):
+        return frames.astype(jnp.float32) if frames.dtype != jnp.float32 else frames
+    return jnp.asarray(np.ascontiguousarray(frames, dtype=np.float32))
 
 def _chunk_sizes(n: int, out_h: int, out_w: int, budget_bytes: int = 2 << 30) -> int:
     per_frame = out_h * out_w * 4 * 12  # taps + temporaries headroom
@@ -260,22 +267,26 @@ def _use_pallas(interp: str) -> bool:
 
 
 def warp_clip(
-    frames: np.ndarray,
+    frames,
     matrices: np.ndarray,
     out_size: Tuple[int, int],
     interp: Interp = "bilinear",
     border: Sequence[float] = (0.0, 0.0, 0.0),
-) -> np.ndarray:
+) -> jnp.ndarray:
     """Warp a whole clip: frames (N,H,W,C) by per-frame src->dst matrices.
 
-    out_size is (width, height), matching the cv2 convention.  Returns
-    float32 (N, out_h, out_w, C).
+    out_size is (width, height), matching the cv2 convention.  frames
+    may be a numpy array or a device array; the result STAYS on device
+    (the pipelines are device-resident end-to-end; only the node API
+    boundary downloads).  Matrices are host values by design — the
+    trajectory solve runs on host and the Pallas fast path plans its
+    tile windows from them.
     """
-    frames = np.ascontiguousarray(frames, dtype=np.float32)
+    frames = _device_frames(frames)
     out_w, out_h = int(out_size[0]), int(out_size[1])
     n = frames.shape[0]
     if n == 0:
-        return np.zeros((0, out_h, out_w, frames.shape[-1]), np.float32)
+        return jnp.zeros((0, out_h, out_w, frames.shape[-1]), jnp.float32)
     coeffs = prepare_inverse_coeffs(matrices).astype(np.float32)
     border_arr = np.asarray(border, np.float32)
     if border_arr.ndim == 0:
@@ -290,41 +301,44 @@ def warp_clip(
             return out
 
     chunk = _chunk_sizes(n, out_h, out_w)
+    if chunk >= n:
+        return _warp_xla(frames, coeffs, border_arr, out_h, out_w, interp)
     pieces = []
     for s in range(0, n, chunk):
         e = min(n, s + chunk)
-        pieces.append(np.asarray(_warp_xla(frames[s:e], coeffs[s:e], border_arr,
-                                           out_h, out_w, interp)))
-    return pieces[0] if len(pieces) == 1 else np.concatenate(pieces, axis=0)
+        pieces.append(_warp_xla(frames[s:e], coeffs[s:e], border_arr,
+                                out_h, out_w, interp))
+    return jnp.concatenate(pieces, axis=0)
 
 
 def coverage_mask(
     matrices: np.ndarray,
     in_size: Tuple[int, int],
     out_size: Tuple[int, int],
-) -> np.ndarray:
+) -> jnp.ndarray:
     """Closed-form of warping an all-ones (in_h, in_w) image with NEAREST.
 
-    Returns float32 (N, out_h, out_w) with 1.0 where the output pixel
-    lands inside the source image.  Bit-equivalent to the reference's
-    mask warps (cv2 INTER_NEAREST of ones, threshold 0.5).
+    Returns float32 (N, out_h, out_w) ON DEVICE with 1.0 where the
+    output pixel lands inside the source image.  Bit-equivalent to the
+    reference's mask warps (cv2 INTER_NEAREST of ones, threshold 0.5).
+    It never reads pixels, so it costs one elementwise pass.
     """
     in_w, in_h = int(in_size[0]), int(in_size[1])
     out_w, out_h = int(out_size[0]), int(out_size[1])
     coeffs = prepare_inverse_coeffs(matrices).astype(np.float32)
     if coeffs.shape[0] == 0:
-        return np.zeros((0, out_h, out_w), np.float32)
-    return np.asarray(_coverage_xla(coeffs, out_h, out_w, in_h, in_w))
+        return jnp.zeros((0, out_h, out_w), jnp.float32)
+    return _coverage_xla(coeffs, out_h, out_w, in_h, in_w)
 
 
 def warp_clip_with_mask(
-    frames: np.ndarray,
+    frames,
     matrices: np.ndarray,
     out_size: Tuple[int, int],
     interp: Interp = "bilinear",
     border: Sequence[float] = (0.0, 0.0, 0.0),
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Warp + padding mask in one call.
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Warp + padding mask in one call (both device-resident).
 
     The padding mask is ``1 - coverage`` with tiny values zeroed, i.e.
     exactly the reference's per-frame ``mask = 1 - (content > 0.5)``
@@ -332,42 +346,49 @@ def warp_clip_with_mask(
     """
     warped = warp_clip(frames, matrices, out_size, interp, border)
     cover = coverage_mask(matrices, (frames.shape[2], frames.shape[1]), out_size)
-    padding = 1.0 - cover
+    padding = zero_small(1.0 - cover)
     return warped, padding
 
 
+@jax.jit
+def zero_small(mask: jnp.ndarray) -> jnp.ndarray:
+    """Zero sub-1e-3 mask values (reference mask[mask < 1e-3] = 0)."""
+    return jnp.where(mask < 1e-3, 0.0, mask)
+
+
 def warp_clip_blur(
-    frames: np.ndarray,
+    frames,
     sample_matrices: np.ndarray,
     out_size: Tuple[int, int],
     interp: Interp = "bilinear",
     border: Sequence[float] = (0.0, 0.0, 0.0),
     with_mask: bool = True,
-) -> Tuple[np.ndarray, np.ndarray | None]:
+) -> Tuple[jnp.ndarray, jnp.ndarray | None]:
     """Shutter-sampled motion blur: average S warps per frame.
 
     sample_matrices has shape (N, S, 3, 3).  Frames are read once per
     sample from HBM but never replicated S-fold; the accumulation runs
-    sample-major over the whole clip.  Mirrors
+    sample-major over the whole clip and stays on device.  Mirrors
     /root/reference/nodes/motion_apply.py:137-202 (mean of warps, soft
     mask = 1 - mean coverage).
     """
+    frames = _device_frames(frames)
     n, s = sample_matrices.shape[:2]
     out_w, out_h = int(out_size[0]), int(out_size[1])
     if n == 0:
-        empty = np.zeros((0, out_h, out_w, frames.shape[-1]), np.float32)
-        return empty, (np.zeros((0, out_h, out_w), np.float32) if with_mask else None)
-    acc = np.zeros((n, out_h, out_w, frames.shape[-1]), np.float32)
-    cover_acc = np.zeros((n, out_h, out_w), np.float32) if with_mask else None
+        empty = jnp.zeros((0, out_h, out_w, frames.shape[-1]), jnp.float32)
+        return empty, (jnp.zeros((0, out_h, out_w), jnp.float32) if with_mask else None)
+    acc = None
+    cover_acc = None
     for k in range(s):
         mats = sample_matrices[:, k]
-        acc += warp_clip(frames, mats, out_size, interp, border)
+        w = warp_clip(frames, mats, out_size, interp, border)
+        acc = w if acc is None else acc + w
         if with_mask:
-            cover_acc += coverage_mask(mats, (frames.shape[2], frames.shape[1]), out_size)
-    acc /= float(s)
+            cov = coverage_mask(mats, (frames.shape[2], frames.shape[1]), out_size)
+            cover_acc = cov if cover_acc is None else cover_acc + cov
+    acc = acc / float(s)
     if with_mask:
-        cover_acc /= float(s)
-        mask = 1.0 - cover_acc
-        mask[mask < 1e-3] = 0.0
+        mask = zero_small(1.0 - cover_acc / float(s))
         return acc, mask
     return acc, None

@@ -282,10 +282,16 @@ def _make_kernel(*, th, tw, wh, ww, ww2, k, n_th, n_tw, in_h, in_w, pad_y, pad_x
                      "channels", "interp", "interpret"),
 )
 def _warp_pallas_call(
-    planar_padded, origins, coeffs32, border, *,
+    frames_nhwc, origins, coeffs32, border, *,
     out_h, out_w, th, tw, wh, ww, ww2, k, n_th, n_tw, in_h, in_w,
     pad_y, pad_x, channels, interp, interpret=False,
 ):
+    # layout conversion + padding run ON DEVICE inside this jit: the
+    # wrapper receives NHWC frames that never leave the chip.
+    planar_padded = jnp.pad(
+        jnp.transpose(frames_nhwc, (0, 3, 1, 2)),
+        ((0, 0), (0, 0), (pad_y, pad_y), (pad_x, pad_x)),
+    )
     n = planar_padded.shape[0]
     kernel = _make_kernel(
         th=th, tw=tw, wh=wh, ww=ww, ww2=ww2, k=k, n_th=n_th, n_tw=n_tw,
@@ -318,11 +324,11 @@ def _warp_pallas_call(
         out_shape=jax.ShapeDtypeStruct((n, channels, n_th * th, n_tw * tw), jnp.float32),
         interpret=interpret,
     )(origins, coeffs32, border, planar_padded)
-    return out[:, :, :out_h, :out_w]
+    return jnp.transpose(out[:, :, :out_h, :out_w], (0, 2, 3, 1))
 
 
 def warp_clip_pallas(
-    frames: np.ndarray,
+    frames,
     matrices: np.ndarray,
     coeffs: np.ndarray,
     out_size: Tuple[int, int],
@@ -330,7 +336,11 @@ def warp_clip_pallas(
     border: Sequence[float],
     interpret: bool = False,
 ):
-    """Attempt the Pallas path; None when unsupported (caller falls back)."""
+    """Attempt the Pallas path; None when unsupported (caller falls back).
+
+    ``frames`` may be numpy or a device array; the result is a device
+    array (NHWC float32).
+    """
     if interp not in ("bilinear", "bicubic"):
         return None
     n, in_h, in_w, channels = frames.shape
@@ -343,13 +353,8 @@ def warp_clip_pallas(
     if plan is None:
         return None
 
-    planar = np.transpose(frames, (0, 3, 1, 2))
-    planar_padded = np.pad(
-        planar,
-        ((0, 0), (0, 0), (plan["pad_y"], plan["pad_y"]), (plan["pad_x"], plan["pad_x"])),
-    )
-    out = _warp_pallas_call(
-        jnp.asarray(planar_padded),
+    return _warp_pallas_call(
+        jnp.asarray(frames, jnp.float32),
         jnp.asarray(plan["origins"], jnp.int32),
         jnp.asarray(coeffs64, jnp.float32).reshape(-1),
         jnp.asarray(border, jnp.float32),
@@ -360,4 +365,3 @@ def warp_clip_pallas(
         pad_y=plan["pad_y"], pad_x=plan["pad_x"],
         channels=channels, interp=interp, interpret=interpret,
     )
-    return np.transpose(np.asarray(out), (0, 2, 3, 1))

@@ -47,7 +47,7 @@ def _shaken_clip(n=8, h=144, w=192, seed=0):
     crop = np.eye(3)
     crop[0, 2], crop[1, 2] = -40, -40  # sample interior so borders stay textured
     view_mats = np.stack([crop @ np.linalg.inv(m) for m in mats])
-    frames = W.warp_clip(np.repeat(base[None], n, 0), view_mats, (w, h), "bilinear", (0.5, 0.5, 0.5))
+    frames = np.asarray(W.warp_clip(np.repeat(base[None], n, 0), view_mats, (w, h), "bilinear", (0.5, 0.5, 0.5)))
     return frames, truth
 
 
@@ -56,7 +56,7 @@ def test_gftt_finds_corners():
     from comfyui_video_stabilizer_tpu.ops import resize as R
 
     grays = R.make_gray(frames)
-    pts, counts = LK.gftt_batch(grays[:1])
+    pts, counts = LK.gftt_batch(np.asarray(grays)[:1])
     assert counts[0] >= 100
     # min-distance respected
     p = pts[0, : counts[0]]
@@ -72,6 +72,7 @@ def test_lk_tracks_known_translation():
     pts, counts = LK.gftt_batch(grays[:-1])
     pyr = LK.gaussian_pyramid(grays)
     tracked, status = LK.lk_track([l[:-1] for l in pyr], [l[1:] for l in pyr], pts, counts)
+    tracked = np.asarray(tracked); status = np.asarray(status)
     assert status.sum(axis=1).min() >= 50
     # median shift should match the known motion's effect prev->curr.
     # scene static, camera view moves by d => pixels move by inv-view delta;
