@@ -44,8 +44,8 @@ _MAX_K = _K_VARIANTS[-1]
 
 
 def _tile_shape(out_h: int, out_w: int) -> Tuple[int, int]:
-    # tile size bounds the Mosaic stack: every (ky, kx) term's slice is
-    # a (th, tw) temporary, and the allocator does not reuse them
+    # Mosaic allocates one stack slot per unrolled temporary (no reuse),
+    # so the tile size is bounded by 84-ish term temporaries of (th, tw)
     return 64, 128
 
 
@@ -126,9 +126,14 @@ def _plan(coeffs: np.ndarray, out_h: int, out_w: int, in_h: int, in_w: int,
     # in-kernel: the row residual (0..7) widens the masked ky range,
     # the column residual (0..127) is removed with one dynamic lane
     # roll of the loaded window (tpu dynamic_rotate).
-    # +7(+8) rows / +127 cols of slack for the origin-alignment residual
+    # +7(+8) rows / +127 cols of slack for the origin-alignment residual.
+    # ww must be a POWER OF TWO: Mosaic's dynamic lane rotate is only
+    # correct when the row is a power-of-two number of 128-lane blocks
+    # (measured: width 384 rotates by shift+128).
     wh = -(-(th + k + 7) // 8) * 8
-    ww = -(-(tw + k - 1 + 127) // 128) * 128
+    ww = 256
+    while ww < tw + k - 1 + 127:
+        ww *= 2
     pad_y = wh
     pad_x = ww
 
@@ -180,17 +185,35 @@ def _make_kernel(*, th, tw, wh, ww, ww2, k, n_th, n_tw, in_h, in_w, pad_y, pad_x
         ty = pl.program_id(1)
         tx = pl.program_id(2)
         tile_id = (n * n_th + ty) * n_tw + tx
-        oy_al = pl.multiple_of(origins_ref[4 * tile_id], 8)
-        ox_al = pl.multiple_of(origins_ref[4 * tile_id + 1], 128)
+        total_tiles = pl.num_programs(0) * n_th * n_tw
         ry = origins_ref[4 * tile_id + 2]
         rx = origins_ref[4 * tile_id + 3]
-        oy = oy_al + ry  # true (padded-coords) window origin
-        ox = ox_al + rx
+        oy = pl.multiple_of(origins_ref[4 * tile_id], 8) + ry
+        ox = pl.multiple_of(origins_ref[4 * tile_id + 1], 128) + rx
 
-        cp = pltpu.make_async_copy(
-            img_ref.at[n, :, pl.ds(oy_al, wh), pl.ds(ox_al, ww)], win, sem
-        )
-        cp.start()
+        # Double-buffered window DMA: grid steps run sequentially, so each
+        # step prefetches the NEXT tile's window while computing its own.
+        def dma_for(tid):
+            slot = jax.lax.rem(tid, 2)
+            fn = tid // (n_th * n_tw)
+            rest = jax.lax.rem(tid, n_th * n_tw)
+            oy_t = pl.multiple_of(origins_ref[4 * tid], 8)
+            ox_t = pl.multiple_of(origins_ref[4 * tid + 1], 128)
+            return pltpu.make_async_copy(
+                img_ref.at[fn, :, pl.ds(oy_t, wh), pl.ds(ox_t, ww)],
+                win.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(tile_id == 0)
+        def _():
+            dma_for(tile_id).start()
+
+        @pl.when(tile_id + 1 < total_tiles)
+        def _():
+            dma_for(tile_id + 1).start()
+
+        cp = dma_for(tile_id)
 
         ylo = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
         xlo = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
@@ -245,19 +268,15 @@ def _make_kernel(*, th, tw, wh, ww, ww2, k, n_th, n_tw, in_h, in_w, pad_y, pad_x
             return out
 
         cp.wait()
+        cur = jax.lax.rem(tile_id, 2)
 
         # The (0..127) column residual of the aligned DMA origin is
-        # removed with an exact 0/1 permutation matmul on the MXU
-        # (pltpu.roll rotates per 128-lane block on real hardware, so
-        # it cannot shift data across lane tiles).  The (0..7) row
-        # residual is absorbed in the masked ky range.  Staged through
-        # scratch so the window isn't a live vector value across the
-        # accumulation loop.
-        src_col = jax.lax.broadcasted_iota(jnp.int32, (ww, ww2), 0)
-        dst_col = jax.lax.broadcasted_iota(jnp.int32, (ww, ww2), 1)
-        perm = (src_col == dst_col + rx).astype(jnp.float32)
+        # removed with a dynamic lane rotate (correct because ww is a
+        # power of two — see _plan).  The (0..7) row residual is
+        # absorbed in the masked ky range.  Staged through scratch so
+        # the window isn't a live vector value across the accumulation.
         for ch in range(channels):
-            rolled[ch] = jnp.dot(win[ch], perm, preferred_element_type=jnp.float32)
+            rolled[ch] = pltpu.roll(win[cur, ch], -rx, 1)
 
         accs = [jnp.zeros((th, tw), jnp.float32) for _ in range(channels)]
         wsum = jnp.zeros((th, tw), jnp.float32)
@@ -313,9 +332,9 @@ def _warp_pallas_call(
             lambda i, j, kk, *_: (i, 0, j, kk),
         ),
         scratch_shapes=[
+            pltpu.VMEM((2, channels, wh, ww), jnp.float32),
             pltpu.VMEM((channels, wh, ww), jnp.float32),
-            pltpu.VMEM((channels, wh, ww2), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
