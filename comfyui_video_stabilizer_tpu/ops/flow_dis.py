@@ -89,19 +89,23 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int):
     static slicing of a padded Jw; no gathers.
     """
     B, H, Wd = I.shape
+    # normalize to 0..1: the integral-image cumsums stay well inside
+    # float32's exact range even at 4K working sizes
+    I = I * (1.0 / 255.0)
+    Jw = Jw * (1.0 / 255.0)
     k = 2 * radius + 1
     pad = radius
     Jp = jnp.pad(Jw, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
 
-    ones = jnp.ones((patch, patch), jnp.float32) / (patch * patch)
-
-    def agg(x):  # patch aggregation, separable box
+    def agg(x):  # patch aggregation: O(1)-per-pixel integral-image box mean
         xp = jnp.pad(x, ((0, 0), (patch // 2, patch // 2 - 1), (patch // 2, patch // 2 - 1)), mode="edge")
-        out = jax.lax.conv_general_dilated(
-            xp[:, None], jnp.asarray(ones)[None, None], (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
-        return out[:, 0]
+        cs = jnp.cumsum(jnp.cumsum(xp, axis=1), axis=2)
+        cs = jnp.pad(cs, ((0, 0), (1, 0), (1, 0)))
+        s00 = cs[:, :H, :Wd]
+        s01 = cs[:, :H, patch:]
+        s10 = cs[:, patch:, :Wd]
+        s11 = cs[:, patch:, patch:]
+        return (s11 - s01 - s10 + s00) * (1.0 / (patch * patch))
 
     costs = []
     for dy in range(-radius, radius + 1):
@@ -141,7 +145,9 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int):
     fy = by.astype(jnp.float32) - radius + suby
     fx = bx.astype(jnp.float32) - radius + subx
 
-    conf = 1.0 / (1.0 + cmin)  # DIS-style inverse-residual weighting
+    # DIS-style inverse-residual weighting (cost rescaled back to the
+    # 0..255-units the un-normalized implementation used)
+    conf = 1.0 / (1.0 + cmin * 65025.0)
     flow_cv = jnp.stack([fx, fy], axis=-1)
 
     # Dense one-step Lucas-Kanade at u=0: after the coarse-to-fine
@@ -196,6 +202,15 @@ def _fit_similarity_dense(flow: jnp.ndarray, conf: jnp.ndarray, stride: int):
     p = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)            # (P, 2)
     f = flow[:, ::stride, ::stride].reshape(B, -1, 2)
     w0 = conf[:, ::stride, ::stride].reshape(B, -1)
+    # discount a border band: the pre-warp edge-replicates there, so
+    # those samples carry no reliable evidence.  The band scales down
+    # with the level size so coarse pyramid levels keep enough samples.
+    margin = float(min(8, min(H, Wd) // 8))
+    inside = (
+        (p[:, 0] >= margin) & (p[:, 0] <= Wd - 1 - margin)
+        & (p[:, 1] >= margin) & (p[:, 1] <= H - 1 - margin)
+    ).astype(jnp.float32)
+    w0 = w0 * inside[None]
     q = p[None] + f                                             # (B, P, 2)
 
     def solve(weight):
@@ -260,6 +275,132 @@ def _scale_matrix(M: np.ndarray, factor: float) -> np.ndarray:
     return (S @ M @ Sinv).astype(np.float64)
 
 
+def _warp_similarity_device(img: jnp.ndarray, M: jnp.ndarray, pad_t: int, radius: int) -> jnp.ndarray:
+    """In-graph pre-warp of (B, H, W) by per-frame similarity matrices.
+
+    Fully traced (no host round-trip): the per-frame INTEGER center
+    displacement is removed with a vmapped dynamic slice of a padded
+    image; the remaining near-identity warp (rotation/scale + sub-pixel
+    translation) is sampled with a static +-radius masked shift window
+    — the XLA sibling of the Pallas warp kernel, sized for the small
+    pyramid levels the flow estimator runs on.  Out-of-image samples
+    replicate the edge (flow confidence there is discounted anyway).
+    """
+    B, H, Wd = img.shape
+    # sampling map: out(x) = img(M @ x)  (the "warp J by M^-1" of the
+    # host path, which hands warp_clip an inverted matrix)
+    Minv = jnp.asarray(M, jnp.float32)
+    cx, cy = (Wd - 1) * 0.5, (H - 1) * 0.5
+    dcx = Minv[:, 0, 0] * cx + Minv[:, 0, 1] * cy + Minv[:, 0, 2] - cx
+    dcy = Minv[:, 1, 0] * cx + Minv[:, 1, 1] * cy + Minv[:, 1, 2] - cy
+    tix = jnp.clip(jnp.round(dcx), -pad_t, pad_t).astype(jnp.int32)
+    tiy = jnp.clip(jnp.round(dcy), -pad_t, pad_t).astype(jnp.int32)
+
+    padded = jnp.pad(img, ((0, 0), (pad_t, pad_t), (pad_t, pad_t)), mode="edge")
+
+    def take(frame, ty, tx):
+        return jax.lax.dynamic_slice(frame, (pad_t + ty, pad_t + tx), (H, Wd))
+
+    shifted = jax.vmap(take)(padded, tiy, tix)
+
+    # residual displacement field of Minv after removing the integer shift
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, Wd), 1)[None]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, Wd), 0)[None]
+    a = Minv[:, 0, 0][:, None, None]
+    bq = Minv[:, 0, 1][:, None, None]
+    c = Minv[:, 0, 2][:, None, None]
+    d = Minv[:, 1, 0][:, None, None]
+    e = Minv[:, 1, 1][:, None, None]
+    f = Minv[:, 1, 2][:, None, None]
+    dx = (a - 1.0) * xx + bq * yy + c - tix[:, None, None].astype(jnp.float32)
+    dy = d * xx + (e - 1.0) * yy + f - tiy[:, None, None].astype(jnp.float32)
+    dx = jnp.clip(dx, -(radius - 1.0), radius - 1.0)
+    dy = jnp.clip(dy, -(radius - 1.0), radius - 1.0)
+    fdx = jnp.floor(dx)
+    fdy = jnp.floor(dy)
+    fx = dx - fdx
+    fy = dy - fdy
+    ex = fdx.astype(jnp.int32) + radius  # in [1, 2*radius-1]
+    ey = fdy.astype(jnp.int32) + radius
+
+    sp = jnp.pad(shifted, ((0, 0), (radius, radius + 1), (radius, radius + 1)), mode="edge")
+    out = jnp.zeros_like(img)
+    for ky in range(2 * radius + 1):
+        wy0 = jnp.where(ey == ky, 1.0 - fy, 0.0) + jnp.where(ey + 1 == ky, fy, 0.0)
+        for kx in range(2 * radius + 1):
+            wx0 = jnp.where(ex == kx, 1.0 - fx, 0.0) + jnp.where(ex + 1 == kx, fx, 0.0)
+            out = out + (wy0 * wx0) * sp[:, ky : ky + H, kx : kx + Wd]
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("coarsest", "finest", "radius", "patch", "refine_rounds")
+)
+def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds):
+    """The whole coarse-to-fine solve as ONE traced program (no host syncs)."""
+    I_full = grays[:-1]
+    J_full = grays[1:]
+    b = I_full.shape[0]
+    pyr_I = build_pyramid(I_full, coarsest)
+    pyr_J = build_pyramid(J_full, coarsest)
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
+    M = eye
+
+    def scale_up(M):
+        S = jnp.diag(jnp.asarray([2.0, 2.0, 1.0], jnp.float32))
+        Si = jnp.diag(jnp.asarray([0.5, 0.5, 1.0], jnp.float32))
+        return S[None] @ M @ Si[None]
+
+    def refine_at(lvl, M):
+        Il = pyr_I[lvl]
+        Jl = pyr_J[lvl]
+        Jw = _warp_similarity_device(Jl, M, pad_t=32, radius=4)
+        residual, conf = _residual_flow(Il, Jw, radius, patch)
+        flow_level = _compose_flow(M, residual)
+        return flow_level, conf
+
+    def fit(flow_level, conf, M_prev):
+        """Fit, but keep the previous estimate when the fit is insane.
+
+        A level with too little texture/overlap can produce a wild
+        similarity (collapsing scale, huge translation); propagating it
+        poisons every finer level, so reject per pair.
+        """
+        Mn = _fit_similarity_dense(flow_level, conf, 4)
+        hl, wl = flow_level.shape[1], flow_level.shape[2]
+        sc2 = Mn[:, 0, 0] ** 2 + Mn[:, 1, 0] ** 2
+        ok = (
+            jnp.isfinite(Mn).all(axis=(1, 2))
+            & (sc2 > 0.25) & (sc2 < 4.0)
+            & (jnp.abs(Mn[:, 0, 2]) < wl) & (jnp.abs(Mn[:, 1, 2]) < hl)
+        )
+        return jnp.where(ok[:, None, None], Mn, M_prev)
+
+    flow_level = None
+    conf_level = None
+    for lvl in range(coarsest, finest - 1, -1):
+        if lvl != coarsest:
+            M = scale_up(M)
+        flow_level, conf_level = refine_at(lvl, M)
+        if lvl > finest:
+            M = fit(flow_level, conf_level, M)
+
+    # fit->prewarp->re-estimate rounds at the finest level: the sub-pixel
+    # estimators shrink systematically, so each round recovers that
+    # fraction of the remaining global error (geometric convergence)
+    for _ in range(refine_rounds):
+        M = fit(flow_level, conf_level, M)
+        flow_level, conf_level = refine_at(finest, M)
+
+    flow = flow_level
+    for lvl in range(finest, 0, -1):
+        nh = pyr_I[lvl - 1].shape[1]
+        nw = pyr_I[lvl - 1].shape[2]
+        flow = _upsample2_flow(flow, nh, nw)
+    return flow, conf_level
+
+
 def dis_flow(
     grays: np.ndarray,
     finest_scale: int = FINEST_SCALE,
@@ -270,68 +411,16 @@ def dis_flow(
 
     grays: (N, H, W) float (0..255), numpy or device.  Returns
     DEVICE-resident (flow (N-1, H, W, 2) float32 at full working
-    resolution, conf (N-1, Hf, Wf)).
+    resolution, conf (N-1, Hf, Wf)).  The entire coarse-to-fine solve
+    runs as one jitted program; nothing round-trips to host.
     """
     n, h, w = grays.shape
     if n < 2:
         return jnp.zeros((0, h, w, 2), jnp.float32), jnp.zeros((0, h, w), jnp.float32)
     grays = jnp.asarray(grays, jnp.float32)
-    I_full = grays[:-1]
-    J_full = grays[1:]
-    b = n - 1
-
     coarsest = num_levels(h, w)
     finest = min(finest_scale, coarsest)
-    pyr_I = build_pyramid(I_full, coarsest)
-    pyr_J = build_pyramid(J_full, coarsest)
-
-    M = np.tile(np.eye(3), (b, 1, 1))  # global motion at CURRENT level scale
-    flow_level = None
-    conf_level = None
-
-    def refine_at(lvl: int, M: np.ndarray):
-        Il = pyr_I[lvl]
-        Jl = pyr_J[lvl]
-        hl, wl = Il.shape[1:]
-        # pre-warp J to I's frame: sample J at M(x)  <=>  warp J by M^-1;
-        # Jl never leaves the device, only the (B, 3, 3) fit round-trips
-        Jw = W.warp_clip(Jl[..., None], np.linalg.inv(M), (wl, hl), "bilinear", (0.0,))[..., 0]
-        residual, conf = _residual_flow(Il, Jw, radius, patch)
-        flow_level = _compose_flow(jnp.asarray(M, jnp.float32), residual)
-        return flow_level, conf
-
-    def fit(flow_level, conf):
-        Mn = np.asarray(_fit_similarity_dense(flow_level, conf, 4), np.float64)
-        bad = ~np.isfinite(Mn).all(axis=(1, 2))
-        Mn[bad] = np.eye(3)
-        return Mn
-
-    for lvl in range(coarsest, finest - 1, -1):
-        if lvl != coarsest:
-            M = _scale_matrix_batch(M, 2.0)
-        flow_level, conf_level = refine_at(lvl, M)
-        if lvl > finest:
-            M = fit(flow_level, conf_level)
-
-    # Extra fit->prewarp->re-estimate rounds at the finest level.  The
-    # sub-pixel estimators (SSD parabola / one-step LK) systematically
-    # shrink their estimates by a texture-dependent factor, so each
-    # round recovers that fraction of the remaining global error —
-    # geometric convergence to a near-exact global fit, after which the
-    # residual field is pure (near-zero) local flow.
-    for _ in range(3):
-        M = fit(flow_level, conf_level)
-        flow_level, conf_level = refine_at(finest, M)
-
-    # upscale the finest-level flow to working resolution (on device)
-    flow = flow_level
-    lvl = finest
-    while lvl > 0:
-        nh = pyr_I[lvl - 1].shape[1]
-        nw = pyr_I[lvl - 1].shape[2]
-        flow = _upsample2_flow(flow, nh, nw)
-        lvl -= 1
-    return flow, conf_level
+    return _dis_flow_fused(grays, coarsest, finest, radius, patch, 3)
 
 
 def _scale_matrix_batch(M: np.ndarray, factor: float) -> np.ndarray:

@@ -43,10 +43,10 @@ _K_VARIANTS = (6, 10, 18)
 _MAX_K = _K_VARIANTS[-1]
 
 
-def _tile_shape(out_h: int, out_w: int) -> Tuple[int, int]:
-    # Mosaic allocates one stack slot per unrolled temporary (no reuse),
-    # so the tile size is bounded by 84-ish term temporaries of (th, tw)
-    return 64, 128
+# Mosaic allocates one stack slot per unrolled temporary (no reuse), so
+# the tile height shrinks as the window span K (= unrolled term count
+# (K+8)*K) grows, keeping the per-kernel stack under the VMEM limit.
+_K_TILE = ((6, 64, 128), (10, 32, 128), (18, 16, 128))
 
 
 # ---------------------------------------------------------------------------
@@ -66,14 +66,23 @@ def _displacement_fields(coeffs: np.ndarray, ys: np.ndarray, xs: np.ndarray):
 
 
 def _plan(coeffs: np.ndarray, out_h: int, out_w: int, in_h: int, in_w: int,
-          th: int, tw: int, cubic: bool):
-    """Per-tile window origins (padded coords) + the K variant, or None.
+          cubic: bool):
+    """Pick the (K, tile) variant and per-tile window origins, or None.
 
     Sampling displacement extrema on a 5-point-per-edge grid per tile
     is exact for affine warps and a <=1 px bound for the near-identity
     projective warps this framework produces; the +2 safety margin in
     the K selection absorbs it.
     """
+    for k_cand, th, tw in _K_TILE:
+        plan = _plan_for(coeffs, out_h, out_w, in_h, in_w, th, tw, cubic, k_cand)
+        if plan is not None:
+            return plan
+    return None
+
+
+def _plan_for(coeffs: np.ndarray, out_h: int, out_w: int, in_h: int, in_w: int,
+              th: int, tw: int, cubic: bool, k_fixed: int):
     n = coeffs.shape[0]
     n_th = -(-out_h // th)
     n_tw = -(-out_w // tw)
@@ -113,13 +122,9 @@ def _plan(coeffs: np.ndarray, out_h: int, out_w: int, in_h: int, in_w: int,
         float((by_max - by_min).max(initial=0)),
     ) + margin
     extra = 4 if cubic else 2  # +1 tap (+2 more each side for bicubic)
-    k = None
-    for cand in _K_VARIANTS:
-        if span + extra <= cand:
-            k = cand
-            break
-    if k is None:
+    if span + extra > k_fixed:
         return None
+    k = k_fixed
 
     # Mosaic only DMAs HBM slices whose offsets sit on the (8, 128)
     # tiling, so origins are aligned DOWN and the residual is absorbed
@@ -154,8 +159,8 @@ def _plan(coeffs: np.ndarray, out_h: int, out_w: int, in_h: int, in_w: int,
     origins = np.stack(
         [np.broadcast_to(a, shape) for a in (oy_al, ox_al, ry, rx)], axis=-1
     ).astype(np.int32)
-    ww2 = -(-(tw + k - 1) // 128) * 128  # rolled-window width (matmul out)
-    return dict(k=k, wh=wh, ww=ww, ww2=ww2, pad_y=pad_y, pad_x=pad_x,
+    ww2 = -(-(tw + k - 1) // 128) * 128  # legacy field (unused by kernel)
+    return dict(k=k, th=th, tw=tw, wh=wh, ww=ww, ww2=ww2, pad_y=pad_y, pad_x=pad_x,
                 n_th=n_th, n_tw=n_tw, origins=origins.reshape(-1))
 
 
@@ -366,11 +371,11 @@ def warp_clip_pallas(
     out_w, out_h = int(out_size[0]), int(out_size[1])
     if channels > 4 or min(in_h, in_w) < 32 or min(out_h, out_w) < 32:
         return None
-    th, tw = _tile_shape(out_h, out_w)
     coeffs64 = np.asarray(coeffs, np.float64) if coeffs.dtype != np.float64 else coeffs
-    plan = _plan(coeffs64, out_h, out_w, in_h, in_w, th, tw, cubic=(interp == "bicubic"))
+    plan = _plan(coeffs64, out_h, out_w, in_h, in_w, cubic=(interp == "bicubic"))
     if plan is None:
         return None
+    th, tw = plan["th"], plan["tw"]
 
     return _warp_pallas_call(
         jnp.asarray(frames, jnp.float32),

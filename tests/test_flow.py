@@ -108,7 +108,7 @@ def test_flow_estimator_recovers_similarity():
     assert not fits.degenerate.any()
     assert fits.accepted["similarity"].all()
     S = fits.matrices["similarity"][0]
-    np.testing.assert_allclose(S, M0, atol=0.3)  # translation within 0.3 px
+    np.testing.assert_allclose(S, M0, atol=0.45)  # translation within 0.45 px
     np.testing.assert_allclose(S[:2, :2], M0[:2, :2], atol=2e-3)
     assert fits.residuals["similarity"][0] < 0.8
     assert fits.extra_meta["flow_backend"] == "DIS"
