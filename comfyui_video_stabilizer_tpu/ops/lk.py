@@ -95,36 +95,50 @@ def gftt_batch(grays, max_corners: int = MAX_CORNERS):
     top_vals = np.asarray(top_vals)
     top_idx = np.asarray(top_idx)
 
+    try:
+        from ..native import rectangle as _native
+        _native._load()
+        greedy = _native.greedy_min_distance
+    except Exception:
+        greedy = None
+
     pts = np.zeros((B, max_corners, 2), np.float32)
     counts = np.zeros(B, np.int32)
     cell = max(1, int(MIN_DISTANCE))
     min_d2 = MIN_DISTANCE * MIN_DISTANCE
     for b in range(B):
-        grid: dict[tuple[int, int], list[tuple[float, float]]] = {}
-        n = 0
-        for val, idx in zip(top_vals[b], top_idx[b]):
-            if not np.isfinite(val) or val <= 0:
-                break
-            y, x = divmod(int(idx), W)
-            cy, cx = y // cell, x // cell
-            ok = True
-            for gy in (cy - 1, cy, cy + 1):
-                for gx in (cx - 1, cx, cx + 1):
-                    for (py, px) in grid.get((gy, gx), ()):
-                        if (py - y) ** 2 + (px - x) ** 2 < min_d2:
-                            ok = False
+        finite = np.isfinite(top_vals[b]) & (top_vals[b] > 0)
+        n_cand = int(finite.sum())
+        idxs = top_idx[b][:n_cand]
+        ys = idxs // W
+        xs = idxs % W
+        if greedy is not None:
+            accepted = greedy(ys, xs, H, W, MIN_DISTANCE, max_corners)
+            n = accepted.shape[0]
+            pts[b, :n] = accepted.astype(np.float32)
+        else:  # pure-python fallback, same greedy ordering
+            grid: dict[tuple[int, int], list[tuple[int, int]]] = {}
+            n = 0
+            for y, x in zip(ys, xs):
+                cy, cx = int(y) // cell, int(x) // cell
+                ok = True
+                for gy in (cy - 1, cy, cy + 1):
+                    for gx in (cx - 1, cx, cx + 1):
+                        for (py, px) in grid.get((gy, gx), ()):
+                            if (py - y) ** 2 + (px - x) ** 2 < min_d2:
+                                ok = False
+                                break
+                        if not ok:
                             break
                     if not ok:
                         break
                 if not ok:
+                    continue
+                grid.setdefault((cy, cx), []).append((int(y), int(x)))
+                pts[b, n] = (x, y)
+                n += 1
+                if n >= max_corners:
                     break
-            if not ok:
-                continue
-            grid.setdefault((cy, cx), []).append((y, x))
-            pts[b, n] = (x, y)
-            n += 1
-            if n >= max_corners:
-                break
         counts[b] = n
     return pts, counts
 

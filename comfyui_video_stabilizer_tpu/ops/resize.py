@@ -89,8 +89,23 @@ def area_resize(stack, out_size: Tuple[int, int]) -> jnp.ndarray:
 def gray_for_estimation(
     frames, working_size: Tuple[int, int] | None, quantize: bool = True
 ) -> jnp.ndarray:
-    """Reference's _make_gray_for_estimation, batched: gray then area resize."""
-    gray = make_gray(frames, quantize=quantize)
-    if working_size is None:
-        return gray
-    return area_resize(gray, working_size)
+    """Reference's _make_gray_for_estimation, batched: gray then area resize.
+
+    Clips too large for device memory (4K/300-frame class) stream
+    through in time chunks; the downscaled grays are small and stay on
+    device.
+    """
+    from .warp import CHUNK_BUDGET_BYTES
+
+    n = frames.shape[0]
+    per_frame = frames.shape[1] * frames.shape[2] * 3 * 4 * 2
+    chunk = max(1, min(n, CHUNK_BUDGET_BYTES // max(per_frame, 1)))
+    if chunk >= n or not isinstance(frames, np.ndarray):
+        gray = make_gray(frames, quantize=quantize)
+        return gray if working_size is None else area_resize(gray, working_size)
+    pieces = []
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        g = make_gray(frames[s:e], quantize=quantize)
+        pieces.append(g if working_size is None else area_resize(g, working_size))
+    return jnp.concatenate(pieces, axis=0)

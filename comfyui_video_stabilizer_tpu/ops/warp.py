@@ -251,9 +251,16 @@ def _device_frames(frames) -> jnp.ndarray:
         return frames.astype(jnp.float32) if frames.dtype != jnp.float32 else frames
     return jnp.asarray(np.ascontiguousarray(frames, dtype=np.float32))
 
-def _chunk_sizes(n: int, out_h: int, out_w: int, budget_bytes: int = 2 << 30) -> int:
-    per_frame = out_h * out_w * 4 * 12  # taps + temporaries headroom
-    return max(1, min(n, budget_bytes // max(per_frame, 1)))
+# Per-stage device-memory budget.  A v5e has 16 GB HBM; leaving room for
+# the source clip, the padded planar copy, and outputs, a warp stage gets
+# ~3 GB of working set.  4K/300-frame clips (29.8 GB raw) therefore
+# stream through in time chunks with host-resident accumulation.
+CHUNK_BUDGET_BYTES = 3 << 30
+
+
+def _chunk_frames(n: int, in_h: int, in_w: int, out_h: int, out_w: int) -> int:
+    per_frame = (in_h * in_w + 3 * out_h * out_w) * 3 * 4  # src + out + temps
+    return max(1, min(n, CHUNK_BUDGET_BYTES // max(per_frame, 1)))
 
 
 def _use_pallas(interp: str) -> bool:
@@ -280,7 +287,8 @@ def warp_clip(
     (the pipelines are device-resident end-to-end; only the node API
     boundary downloads).  Matrices are host values by design — the
     trajectory solve runs on host and the Pallas fast path plans its
-    tile windows from them.
+    tile windows from them.  Clips whose working set exceeds the HBM
+    budget stream through in time chunks and return a HOST array.
     """
     frames = _device_frames(frames)
     out_w, out_h = int(out_size[0]), int(out_size[1])
@@ -292,23 +300,33 @@ def warp_clip(
     if border_arr.ndim == 0:
         border_arr = np.full((frames.shape[-1],), float(border_arr), np.float32)
 
-    if _use_pallas(interp):
-        from . import warp_pallas
+    chunk = _chunk_frames(n, frames.shape[1], frames.shape[2], out_h, out_w)
 
-        out = warp_pallas.warp_clip_pallas(frames, np.asarray(matrices, np.float64), coeffs,
-                                           (out_w, out_h), interp, border_arr)
-        if out is not None:
-            return out
+    def run_chunk(fr, mat, co):
+        if _use_pallas(interp):
+            from . import warp_pallas
 
-    chunk = _chunk_sizes(n, out_h, out_w)
+            out = warp_pallas.warp_clip_pallas(
+                fr, mat, co, (out_w, out_h), interp, border_arr
+            )
+            if out is not None:
+                return out
+        return _warp_xla(_device_frames(fr), co, border_arr, out_h, out_w, interp)
+
     if chunk >= n:
-        return _warp_xla(frames, coeffs, border_arr, out_h, out_w, interp)
-    pieces = []
+        return run_chunk(frames, np.asarray(matrices, np.float64), coeffs)
+
+    # Streaming path (e.g. 4K/300-frame clips): each time-chunk is
+    # uploaded, warped and written back to a host buffer so device
+    # memory holds one chunk at a time.
+    mats64 = np.asarray(matrices, np.float64)
+    host_src = frames if isinstance(frames, np.ndarray) else None
+    out_np = np.empty((n, out_h, out_w, frames.shape[-1]), np.float32)
     for s in range(0, n, chunk):
         e = min(n, s + chunk)
-        pieces.append(_warp_xla(frames[s:e], coeffs[s:e], border_arr,
-                                out_h, out_w, interp))
-    return jnp.concatenate(pieces, axis=0)
+        src = host_src[s:e] if host_src is not None else frames[s:e]
+        out_np[s:e] = np.asarray(run_chunk(src, mats64[s:e], coeffs[s:e]))
+    return out_np
 
 
 def coverage_mask(
@@ -345,6 +363,16 @@ def warp_clip_with_mask(
     (/root/reference/nodes/video_stabilizer_classic.py:506-519).
     """
     warped = warp_clip(frames, matrices, out_size, interp, border)
+    n = frames.shape[0]
+    out_w, out_h = int(out_size[0]), int(out_size[1])
+    mask_chunk = max(1, min(n, CHUNK_BUDGET_BYTES // max(out_h * out_w * 16, 1)))
+    if isinstance(warped, np.ndarray) and mask_chunk < n:
+        padding = np.empty((n, out_h, out_w), np.float32)
+        for s in range(0, n, mask_chunk):
+            e = min(n, s + mask_chunk)
+            cover = coverage_mask(matrices[s:e], (frames.shape[2], frames.shape[1]), out_size)
+            padding[s:e] = np.asarray(zero_small(1.0 - cover))
+        return warped, padding
     cover = coverage_mask(matrices, (frames.shape[2], frames.shape[1]), out_size)
     padding = zero_small(1.0 - cover)
     return warped, padding
@@ -372,12 +400,31 @@ def warp_clip_blur(
     /root/reference/nodes/motion_apply.py:137-202 (mean of warps, soft
     mask = 1 - mean coverage).
     """
-    frames = _device_frames(frames)
     n, s = sample_matrices.shape[:2]
     out_w, out_h = int(out_size[0]), int(out_size[1])
     if n == 0:
         empty = jnp.zeros((0, out_h, out_w, frames.shape[-1]), jnp.float32)
         return empty, (jnp.zeros((0, out_h, out_w), jnp.float32) if with_mask else None)
+
+    chunk = _chunk_frames(n, frames.shape[1], frames.shape[2], out_h, out_w)
+    if chunk < n:
+        # stream big clips: accumulate each time-chunk's shutter average
+        # on device, spill the finished chunk to host
+        frames_host = frames if isinstance(frames, np.ndarray) else np.asarray(frames)
+        out_np = np.empty((n, out_h, out_w, frames.shape[-1]), np.float32)
+        mask_np = np.empty((n, out_h, out_w), np.float32) if with_mask else None
+        for cs in range(0, n, chunk):
+            ce = min(n, cs + chunk)
+            sub, submask = warp_clip_blur(
+                jnp.asarray(frames_host[cs:ce]), sample_matrices[cs:ce],
+                out_size, interp, border, with_mask,
+            )
+            out_np[cs:ce] = np.asarray(sub)
+            if with_mask:
+                mask_np[cs:ce] = np.asarray(submask)
+        return out_np, mask_np
+
+    frames = _device_frames(frames)
     acc = None
     cover_acc = None
     for k in range(s):

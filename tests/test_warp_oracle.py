@@ -129,3 +129,26 @@ def test_blur_zero_equals_plain():
     np.testing.assert_allclose(blurred, plain, atol=1e-6)
     cover = W.coverage_mask(mats, (w, h), (w, h))
     np.testing.assert_allclose(mask, 1.0 - cover, atol=1e-6)
+
+
+def test_streaming_chunked_path_matches_unchunked(monkeypatch):
+    """4K/300-frame class clips stream in time chunks; results identical."""
+    from comfyui_video_stabilizer_tpu.ops import warp as W2
+
+    frames = _test_clip(n=6)
+    n, h, w = frames.shape[:3]
+    mats = _test_matrices(n, w, h, seed=9)
+    full = np.asarray(W2.warp_clip(frames, mats, (w, h), "bilinear", (0.1, 0.2, 0.3)))
+    fullm = W2.warp_clip_with_mask(frames, mats, (w, h), "bilinear", (0.1, 0.2, 0.3))
+
+    monkeypatch.setattr(W2, "CHUNK_BUDGET_BYTES", frames[0].nbytes * 8)  # ~2 frames/chunk
+    chunked = W2.warp_clip(frames, mats, (w, h), "bilinear", (0.1, 0.2, 0.3))
+    assert isinstance(chunked, np.ndarray)  # streaming returns host memory
+    np.testing.assert_array_equal(chunked, full)
+    cw, cm = W2.warp_clip_with_mask(frames, mats, (w, h), "bilinear", (0.1, 0.2, 0.3))
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(fullm[1]))
+
+    # blur streaming
+    samples = np.repeat(mats[:, None], 3, axis=1)
+    bf, bm = W2.warp_clip_blur(frames, samples, (w, h), "bilinear", (0.1, 0.2, 0.3))
+    np.testing.assert_allclose(np.asarray(bf), full, atol=1e-6)
