@@ -265,7 +265,11 @@ def apply_motion(
     motion_blur_samples: int = 9,
     progress_callback: ProgressCallback | None = None,
 ) -> MotionApplyResult:
-    motion = resolve_motion_for_context(meta, context)
+    from ..utils.profiling import StageTimer
+
+    timer = StageTimer()
+    with timer.stage("resolve_meta"):
+        motion = resolve_motion_for_context(meta, context)
     _validate_context(context, motion)
 
     matrices = motion.matrices()
@@ -278,10 +282,11 @@ def apply_motion(
     motion_blur_samples = int(np.clip(motion_blur_samples, 3, 33))
 
     def run(mats, out_size, masks_zero=False):
-        return _warp_blur(
-            context, mats, out_size, interp, padding_rgb,
-            motion_blur, motion_blur_samples, masks_zero, progress_callback,
-        )
+        with timer.stage("warp"):
+            return _warp_blur(
+                context, mats, out_size, interp, padding_rgb,
+                motion_blur, motion_blur_samples, masks_zero, progress_callback,
+            )
 
     if requested_framing == "crop_and_pad":
         frames, masks = run(matrices, output_size)
@@ -314,4 +319,4 @@ def apply_motion(
         "motion_blur_samples": motion_blur_samples,
         "source": motion.source,
     }
-    return MotionApplyResult(frames, masks, result_meta)
+    return MotionApplyResult(frames, masks, timer.attach(result_meta))

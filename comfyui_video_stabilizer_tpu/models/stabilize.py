@@ -35,6 +35,7 @@ from ..meta.motion_meta import (
 )
 from ..ops import resize as R
 from ..ops import warp as W
+from ..utils.profiling import StageTimer
 from ..utils.video_io import VideoContext
 from . import framing as F
 from . import geometry as G
@@ -227,11 +228,14 @@ def stabilize_clip(
         return StabilizationResult(frames.copy(), zero_mask, _attach_motion_meta(meta))
 
     # ---- estimation at working resolution (batched) ----
+    timer = StageTimer()
     working_size = G.working_estimation_size(width, height)
-    grays = R.gray_for_estimation(frames, working_size)
+    with timer.stage("grayscale_downscale"):
+        grays = R.gray_for_estimation(frames, working_size)
     base_mode = transform_mode
 
-    fits = estimator(grays, transform_mode)
+    with timer.stage("estimation"):
+        fits = estimator(grays, transform_mode)
     matrices, modes_used, confidences, residuals = sticky_select(transform_mode, fits)
     if working_size is not None:
         matrices = G.rescale_transforms_to_full(matrices, (width, height), working_size)
@@ -404,9 +408,10 @@ def stabilize_clip(
 
     # ---- warp pass: one batched kernel + closed-form masks ----
     border = np.asarray(padding_rgb, np.float32) / 255.0
-    stabilized, padding_masks = W.warp_clip_with_mask(
-        frames, final_matrices, output_size, "bilinear", border
-    )
+    with timer.stage("warp"):
+        stabilized, padding_masks = W.warp_clip_with_mask(
+            frames, final_matrices, output_size, "bilinear", border
+        )
     # only the tiny per-frame stats leave the device
     padded_ratios = np.asarray(padding_masks.reshape(total_frames, -1).mean(axis=1))
     padding_detected = bool((padded_ratios > 0).any() or
@@ -455,4 +460,4 @@ def stabilize_clip(
         "padding_fraction_mean": float(padded_ratios.mean()),
         "padding_fraction_max": float(padded_ratios.max()),
     }
-    return StabilizationResult(stabilized, padding_masks, _attach_motion_meta(meta))
+    return StabilizationResult(stabilized, padding_masks, timer.attach(_attach_motion_meta(meta)))

@@ -1,0 +1,128 @@
+"""Pipeline-policy semantics: sticky fallback, early-outs, meta schema."""
+
+import numpy as np
+import pytest
+
+from comfyui_video_stabilizer_tpu.models import stabilize as ST
+from comfyui_video_stabilizer_tpu.models.classic import stabilize_classic
+from comfyui_video_stabilizer_tpu.utils.video_io import normalize_video_input
+
+GRAY = (127, 127, 127)
+
+
+def _fits(b, degenerate=None, **modes):
+    """Helper to build PairFits from {mode: (accept_list, conf)} pairs."""
+    matrices = {}
+    confidences = {}
+    accepted = {}
+    for mode, (accept, conf) in modes.items():
+        matrices[mode] = np.stack([np.eye(3, dtype=np.float32) * (1 + 0.01 * i) for i in range(b)])
+        for i in range(b):
+            matrices[mode][i, 2, 2] = 1.0
+        confidences[mode] = np.asarray(conf, float)
+        accepted[mode] = np.asarray(accept, bool)
+    return ST.PairFits(
+        degenerate=np.asarray(degenerate if degenerate is not None else [False] * b),
+        matrices=matrices,
+        confidences=confidences,
+        accepted=accepted,
+    )
+
+
+def test_sticky_degradation_perspective_to_similarity():
+    # pair 1 fails perspective -> active mode degrades for pairs 2..
+    fits = _fits(
+        4,
+        perspective=([True, False, True, True], [0.5, 0.0, 0.6, 0.7]),
+        similarity=([True, True, True, True], [0.4, 0.3, 0.45, 0.5]),
+        translation=([True] * 4, [1.0] * 4),
+    )
+    mats, modes, confs, _ = ST.sticky_select("perspective", fits)
+    assert modes == ["perspective", "similarity", "similarity", "similarity"]
+    assert confs[1] == pytest.approx(0.3)
+
+
+def test_degenerate_pair_degrades_to_translation():
+    fits = _fits(
+        3,
+        degenerate=[False, True, False],
+        similarity=([True, True, True], [0.5, 0.5, 0.5]),
+        translation=([True] * 3, [0.9] * 3),
+    )
+    mats, modes, confs, _ = ST.sticky_select("similarity", fits)
+    assert modes == ["similarity", "translation", "translation"]
+    assert confs[1] == 0.0
+    np.testing.assert_array_equal(mats[1], np.eye(3))
+
+
+def test_translation_requested_never_upgrades():
+    fits = _fits(
+        2,
+        similarity=([True, True], [0.9, 0.9]),
+        translation=([True, True], [0.8, 0.8]),
+    )
+    _, modes, _, _ = ST.sticky_select("translation", fits)
+    assert modes == ["translation", "translation"]
+
+
+def test_empty_input_meta():
+    frames = np.zeros((1, 8, 10, 3), np.float32)
+    ctx = normalize_video_input(frames)
+    ctx.frames = ctx.frames[:0]
+    res = ST.stabilize_clip(
+        ctx, estimator=None, source_name="estimated_classic",
+        framing_mode="crop", transform_mode="similarity", camera_lock=False,
+        strength=0.7, smooth=0.5, keep_fov=0.6, padding_rgb=GRAY, frame_rate=16.0,
+    )
+    meta = res.meta
+    assert meta["frames"] == 0
+    assert meta["transform_mode_applied"] == "identity"
+    assert meta["stabilization_warp"]["per_frame"] == []
+    assert meta["estimated_motion"]["path"] == []
+    assert len(res.frames) == 0
+
+
+def test_keep_fov_one_bypasses():
+    rng = np.random.default_rng(0)
+    frames = rng.random((4, 48, 64, 3)).astype(np.float32)
+    ctx = normalize_video_input(frames)
+    res = stabilize_classic(ctx, "crop", "similarity", False, 0.7, 0.5, 1.0, GRAY, 16.0)
+    assert res.meta["note"].startswith("keep_fov~=1.0")
+    assert res.meta["framing"]["stabilization_scale"] == 0.0
+    np.testing.assert_array_equal(np.asarray(res.frames), frames)
+    assert np.asarray(res.masks).max() == 0.0
+    # identity warp meta: replay must be exact
+    ident = np.asarray(res.meta["stabilization_warp"]["per_frame"][0]["applied_matrix"])
+    np.testing.assert_array_equal(ident, np.eye(3))
+
+
+def test_meta_schema_fields_per_framing():
+    rng = np.random.default_rng(1)
+    frames = rng.random((5, 48, 64, 3)).astype(np.float32)
+    for framing, keys in [
+        ("crop", {"keep_fov_status", "keep_fov_effective", "crop_origin", "crop_size",
+                  "actual_content_ratio", "stabilization_scale"}),
+        ("crop_and_pad", {"safe_region_origin", "safe_region_size",
+                          "actual_content_ratio", "center_offset"}),
+        ("expand", {"expanded_size"}),
+    ]:
+        res = stabilize_classic(
+            normalize_video_input(frames), framing, "translation", False,
+            0.7, 0.5, 0.6, GRAY, 16.0,
+        )
+        fm = res.meta["framing"]
+        assert keys <= set(fm), (framing, fm.keys())
+        assert fm["mode"] == framing
+        assert "padding_detected" in fm
+        assert "min_content_ratio" in fm
+        for key in ("transform_mode_requested", "transform_mode_applied", "camera_lock",
+                    "strength", "strength_effective", "smooth", "fps_requested",
+                    "fps_effective", "keep_fov_applied", "padding_color_rgb",
+                    "stabilization_warp", "estimated_motion", "padding_fraction_mean",
+                    "padding_fraction_max", "motion_meta"):
+            assert key in res.meta, key
+        em = res.meta["estimated_motion"]
+        assert len(em["per_transition"]) == 4
+        assert len(em["path"]) == 5
+        assert len(em["target_path"]) == 5
+        assert len(em["target_path_effective"]) == 5
