@@ -60,7 +60,7 @@ def synth_clip_device(n, h, w, seed=0):
     frames = W.warp_clip(
         jnp.broadcast_to(base[None], (n,) + base.shape), view, (w, h), "bilinear", (0.5, 0.5, 0.5)
     )
-    return frames
+    return jnp.asarray(frames)  # device, even if the warp streamed via host
 
 
 def main() -> None:

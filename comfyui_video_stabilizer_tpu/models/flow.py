@@ -15,8 +15,10 @@ reference records backend degradation.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,19 +42,55 @@ def _grid_points(h: int, w: int, step: int) -> np.ndarray:
     return np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("want_persp", "n_hyp", "step"))
+def _fused_fits(flow, pts, seed, want_persp, n_hyp, step):
+    """Sampling + every robust fit + diagnostics as ONE device program.
+
+    Returns a flat tuple so the caller fetches everything in a single
+    host round-trip (the development tunnel charges ~30 ms per sync;
+    even on production hosts, one fetch beats seven).
+    """
+    b = flow.shape[0]
+    samples = flow[:, ::step, ::step, :].reshape(b, -1, 2)
+    prev_pts = jnp.broadcast_to(pts[None], samples.shape)
+    curr_pts = prev_pts + samples
+    valid = jnp.isfinite(curr_pts).all(axis=2)
+    valid_counts = valid.sum(axis=1)
+
+    def keys(salt):
+        return jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed + salt), i))(
+            jnp.arange(b)
+        )
+
+    out = [valid_counts]
+    if want_persp:
+        H, nH, vH = RS._ransac_batched(
+            keys(0), prev_pts, curr_pts, valid, "perspective", n_hyp, RS.PERSP_THRESH
+        )
+        out += [H, nH, vH, RS._residuals_kernel(H, prev_pts, curr_pts, valid)]
+    S, nS, vS = RS._ransac_batched(
+        keys(1), prev_pts, curr_pts, valid, "similarity", n_hyp, RS.SIM_THRESH
+    )
+    out += [S, nS, vS, RS._residuals_kernel(S, prev_pts, curr_pts, valid)]
+    med = RS._masked_median_shift(prev_pts, curr_pts, valid)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
+    T = eye.at[:, 0, 2].set(med[:, 0]).at[:, 1, 2].set(med[:, 1])
+    out += [T, RS._residuals_kernel(T, prev_pts, curr_pts, valid)]
+    return tuple(out)
+
+
 def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> PairFits:
     n, h, w = grays.shape
     b = n - 1
     extra: Dict[str, object] = {"flow_backend": "DIS", "flow_fallback_reason": None}
 
+    want_persp = requested_mode == "perspective"
     try:
         flow, _conf = FD.dis_flow(grays)
-        # stride-8 grid sampling is a strided slice, not a gather
-        samples = flow[:, ::SAMPLE_STEP, ::SAMPLE_STEP, :].reshape(b, -1, 2)
-        pts = _grid_points(h, w, SAMPLE_STEP)
-        prev_pts = jnp.broadcast_to(jnp.asarray(pts)[None], samples.shape)
-        curr_pts = prev_pts + samples
-        valid = np.asarray(jnp.isfinite(curr_pts).all(axis=2))
+        pts = jnp.asarray(_grid_points(h, w, SAMPLE_STEP))
+        fused = jax.device_get(
+            _fused_fits(flow, pts, seed, want_persp, RS.DEFAULT_HYPOTHESES, SAMPLE_STEP)
+        )
     except Exception as exc:  # degraded backend, mirrors reference chain
         extra = {
             "flow_backend": "phase_correlate",
@@ -71,38 +109,38 @@ def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> 
             extra_meta=extra,
         )
 
-    valid_counts = valid.sum(axis=1)
+    it = iter(fused)
+    valid_counts = np.asarray(next(it))
     degenerate = valid_counts < MIN_VALID
+    total_pts = ((h + SAMPLE_STEP - 1) // SAMPLE_STEP) * ((w + SAMPLE_STEP - 1) // SAMPLE_STEP)
 
     matrices: Dict[str, np.ndarray] = {}
     confidences: Dict[str, np.ndarray] = {}
     accepted: Dict[str, np.ndarray] = {}
     residuals: Dict[str, np.ndarray] = {}
 
-    if requested_mode == "perspective":
-        H, n_in, n_valid = RS.fit_model_batch(prev_pts, curr_pts, valid, "perspective", seed=seed)
+    if want_persp:
+        H, n_in, n_valid, rH = (np.asarray(next(it)) for _ in range(4))
         conf = np.where(n_valid > 0, n_in / np.maximum(n_valid, 1), 0.0)
         finite = np.isfinite(H).all(axis=(1, 2))
         matrices["perspective"] = H
         confidences["perspective"] = conf
         accepted["perspective"] = finite & (valid_counts >= 4) & (conf >= PERSP_MIN_RATIO)
-        residuals["perspective"] = RS.reprojection_residuals(H, prev_pts, curr_pts, valid)
+        residuals["perspective"] = rH
 
-    if requested_mode in ("perspective", "similarity"):
-        S, n_in, n_valid = RS.fit_model_batch(prev_pts, curr_pts, valid, "similarity", seed=seed + 1)
-        conf = np.where(n_valid > 0, n_in / np.maximum(n_valid, 1), 0.0)
-        finite = np.isfinite(S).all(axis=(1, 2))
-        matrices["similarity"] = S
-        confidences["similarity"] = conf
-        accepted["similarity"] = finite & (valid_counts >= 3) & (conf >= SIM_MIN_RATIO)
-        residuals["similarity"] = RS.reprojection_residuals(S, prev_pts, curr_pts, valid)
+    S, n_in, n_valid, rS = (np.asarray(next(it)) for _ in range(4))
+    conf = np.where(n_valid > 0, n_in / np.maximum(n_valid, 1), 0.0)
+    finite = np.isfinite(S).all(axis=(1, 2))
+    matrices["similarity"] = S
+    confidences["similarity"] = conf
+    accepted["similarity"] = finite & (valid_counts >= 3) & (conf >= SIM_MIN_RATIO)
+    residuals["similarity"] = rS
 
-    T = RS.median_translation_batch(prev_pts, curr_pts, valid)
+    T, rT = (np.asarray(next(it)) for _ in range(2))
     matrices["translation"] = T
-    total_pts = prev_pts.shape[1]
     confidences["translation"] = valid_counts / max(total_pts, 1)
     accepted["translation"] = np.ones(b, bool)
-    residuals["translation"] = RS.reprojection_residuals(T, prev_pts, curr_pts, valid)
+    residuals["translation"] = rT
 
     return PairFits(
         degenerate=degenerate,

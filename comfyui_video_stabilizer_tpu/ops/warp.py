@@ -251,15 +251,16 @@ def _device_frames(frames) -> jnp.ndarray:
         return frames.astype(jnp.float32) if frames.dtype != jnp.float32 else frames
     return jnp.asarray(np.ascontiguousarray(frames, dtype=np.float32))
 
-# Per-stage device-memory budget.  A v5e has 16 GB HBM; leaving room for
-# the source clip, the padded planar copy, and outputs, a warp stage gets
-# ~3 GB of working set.  4K/300-frame clips (29.8 GB raw) therefore
-# stream through in time chunks with host-resident accumulation.
-CHUNK_BUDGET_BYTES = 3 << 30
+# Per-stage device-memory budget.  A v5e has 16 GB HBM; the warp stage's
+# live set per frame is roughly src NHWC + padded planar copy (~1.75x) +
+# planar out + NHWC out + mask — ~120 MB at 1080p, ~480 MB at 4K.  Clips
+# beyond the budget (4K/300 = 29.8 GB raw) stream through in time chunks
+# with host-resident accumulation.
+CHUNK_BUDGET_BYTES = 10 << 30
 
 
 def _chunk_frames(n: int, in_h: int, in_w: int, out_h: int, out_w: int) -> int:
-    per_frame = (in_h * in_w + 3 * out_h * out_w) * 3 * 4  # src + out + temps
+    per_frame = (3 * in_h * in_w + 2 * out_h * out_w) * 3 * 4
     return max(1, min(n, CHUNK_BUDGET_BYTES // max(per_frame, 1)))
 
 
