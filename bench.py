@@ -64,8 +64,12 @@ def synth_clip_device(n, h, w, seed=0):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     import jax
+
+    # persistent compile cache: the tunnel compiler costs minutes per kernel
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from comfyui_video_stabilizer_tpu.models.flow import stabilize_flow
     from comfyui_video_stabilizer_tpu.utils.video_io import FrameAdapter, VideoContext

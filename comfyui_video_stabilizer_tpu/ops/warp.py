@@ -256,7 +256,7 @@ def _device_frames(frames) -> jnp.ndarray:
 # planar out + NHWC out + mask — ~120 MB at 1080p, ~480 MB at 4K.  Clips
 # beyond the budget (4K/300 = 29.8 GB raw) stream through in time chunks
 # with host-resident accumulation.
-CHUNK_BUDGET_BYTES = 10 << 30
+CHUNK_BUDGET_BYTES = 13 << 30
 
 
 def _chunk_frames(n: int, in_h: int, in_w: int, out_h: int, out_w: int) -> int:
