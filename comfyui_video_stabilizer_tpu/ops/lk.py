@@ -161,97 +161,152 @@ def gaussian_pyramid(stack, levels: int = MAX_LEVEL) -> List[jnp.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# Subpixel patch sampling (gather-based; feature data is tiny)
+# Window-extracted matmul sampling
+#
+# TPU gathers are scalarized, so per-iteration bilinear patch gathers made
+# LK catastrophically slow (measured 0.4 f/s at 480p).  Instead each
+# feature's (WEXT x WEXT) integer-aligned window is extracted ONCE per
+# level (a slice-gather XLA handles well), and every subsequent subpixel
+# patch sample is two small matmuls with 2-nonzero interpolation
+# matrices — exact bilinear, on the MXU, for all features of all pairs
+# at once.  The Gauss-Newton update is therefore bounded to +-TRAVEL px
+# per level (cv2 is unbounded, but coarse-to-fine keeps true per-level
+# updates far smaller; the bound only bites on junk tracks, which the
+# forward-backward/status logic discards anyway).
 # ---------------------------------------------------------------------------
 
-def _sample_patches(img: jnp.ndarray, centers: jnp.ndarray, size: int):
-    """img (H, W), centers (F, 2) xy -> patches (F, size, size), inb (F,).
+TRAVEL = 8                      # max displacement from the level's init
+WEXT = WIN + 2 * TRAVEL + 2     # extracted window side
 
-    Bilinear, patch grid centered: offsets -(size//2) .. +(size//2).
+
+def _interp_matrix(offset: jnp.ndarray, out_size: int, in_size: int) -> jnp.ndarray:
+    """(F,) fractional offsets -> (F, out_size, in_size) bilinear rows.
+
+    Row i has weights (1-f, f) at columns (i + floor(offset)),
+    (i + floor(offset) + 1); out-of-window rows are zero (the caller
+    clamps offsets so that never happens for live tracks).
+    """
+    base = jnp.floor(offset)
+    frac = (offset - base)[:, None, None]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (out_size, in_size), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (out_size, in_size), 1)
+    k = cols - rows - base.astype(jnp.int32)[:, None, None]
+    return jnp.where(k == 0, 1.0 - frac, jnp.where(k == 1, frac, 0.0))
+
+
+def _sample_from_windows(windows: jnp.ndarray, off_y: jnp.ndarray, off_x: jnp.ndarray,
+                         size: int) -> jnp.ndarray:
+    """windows (F, WEXT, WEXT), offsets (F,) -> (F, size, size) patches.
+
+    patch = A(off_y) @ window @ B(off_x)^T, exact bilinear.
+    """
+    A = _interp_matrix(off_y, size, WEXT)
+    Bm = _interp_matrix(off_x, size, WEXT)
+    tmp = jnp.einsum("fij,fjk->fik", A, windows, preferred_element_type=jnp.float32)
+    return jnp.einsum("fik,flk->fil", tmp, Bm, preferred_element_type=jnp.float32)
+
+
+def _extract_windows(img: jnp.ndarray, corners: jnp.ndarray) -> jnp.ndarray:
+    """img (H, W), corners (F, 2) int xy -> (F, WEXT, WEXT) windows.
+
+    One vmapped dynamic_slice per feature: a slice-gather with large
+    contiguous blocks, the only gather left in the tracker.
     """
     H, W = img.shape
-    half = size // 2
-    offs = jnp.arange(size, dtype=jnp.float32) - half
-    gx = centers[:, 0, None, None] + offs[None, None, :]
-    gy = centers[:, 1, None, None] + offs[None, :, None]
-    x0 = jnp.floor(gx)
-    y0 = jnp.floor(gy)
-    fx = gx - x0
-    fy = gy - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    pad = WEXT
+    padded = jnp.pad(img, ((pad, pad), (pad, pad)))
 
-    def tap(yi, xi):
-        yc = jnp.clip(yi, 0, H - 1)
-        xc = jnp.clip(xi, 0, W - 1)
-        return img[yc, xc]
+    def one(c):
+        return jax.lax.dynamic_slice(
+            padded, (c[1] + pad, c[0] + pad), (WEXT, WEXT)
+        )
 
-    v = (
-        tap(y0i, x0i) * (1 - fy) * (1 - fx)
-        + tap(y0i, x0i + 1) * (1 - fy) * fx
-        + tap(y0i + 1, x0i) * fy * (1 - fx)
-        + tap(y0i + 1, x0i + 1) * fy * fx
-    )
-    inb = (
-        (centers[:, 0] - half >= 0)
-        & (centers[:, 0] + half <= W - 1)
-        & (centers[:, 1] - half >= 0)
-        & (centers[:, 1] + half <= H - 1)
-    )
-    return v, inb
+    return jax.vmap(one)(corners)
 
 
 def _lk_level(I, J, dIx, dIy, pts_level, guess, valid, win, iters, eps, is_level0):
-    """One pyramid level for one pair: vmapped over features.
+    """One pyramid level for one pair, all features batched.
 
     cv2 semantics: upper levels never kill a track — a point whose
     window leaves the image or whose normal matrix is ill-conditioned
     simply keeps its guess; only level 0 folds those conditions into
     the returned status.
     """
-    level_fits = min(I.shape) >= win  # image big enough for the window
+    H, W = I.shape
+    level_fits = min(H, W) >= win
+    half = win // 2
 
-    def per_feature(pt, g, ok):
-        T, in_t = _sample_patches(I, pt[None], win)
-        T = T[0]
-        gx, _ = _sample_patches(dIx, pt[None], win)
-        gy, _ = _sample_patches(dIy, pt[None], win)
-        gx = gx[0]
-        gy = gy[0]
-        a = (gx * gx).sum()
-        b = (gx * gy).sum()
-        c = (gy * gy).sum()
-        det = a * c - b * b
-        min_eig = 0.5 * ((a + c) - jnp.sqrt((a - c) ** 2 + 4 * b * b)) / (win * win)
-        solvable = (det > 1e-7) & (min_eig > 1e-4)
-        runnable = solvable & in_t[0] & level_fits
+    # integer window corners (top-left of the extracted block)
+    tpl_corner = jnp.floor(pts_level).astype(jnp.int32) - half - 1
+    cur_corner = jnp.floor(guess).astype(jnp.int32) - half - TRAVEL
+    wins_t = _extract_windows(I, tpl_corner)
+    wins_gx = _extract_windows(dIx, tpl_corner)
+    wins_gy = _extract_windows(dIy, tpl_corner)
+    wins_j = _extract_windows(J, cur_corner)
 
-        def body(state):
-            it, g_cur, done = state
-            Jp, _ = _sample_patches(J, g_cur[None], win)
-            r = Jp[0] - T
-            bx = (gx * r).sum()
-            by = (gy * r).sum()
-            dx = -(c * bx - b * by) / jnp.where(det == 0, 1.0, det)
-            dy = -(-b * bx + a * by) / jnp.where(det == 0, 1.0, det)
-            g_new = g_cur + jnp.stack([dx, dy])
-            small = (dx * dx + dy * dy) <= eps * eps
-            return it + 1, jnp.where(done, g_cur, g_new), done | small
+    # template + gradients at the feature's exact subpixel position
+    t_off_y = pts_level[:, 1] - half - tpl_corner[:, 1].astype(jnp.float32)
+    t_off_x = pts_level[:, 0] - half - tpl_corner[:, 0].astype(jnp.float32)
+    T = _sample_from_windows(wins_t, t_off_y, t_off_x, win)
+    gx = _sample_from_windows(wins_gx, t_off_y, t_off_x, win)
+    gy = _sample_from_windows(wins_gy, t_off_y, t_off_x, win)
 
-        def cond(state):
-            it, _, done = state
-            return (it < iters) & (~done)
+    a = (gx * gx).sum(axis=(1, 2))
+    b = (gx * gy).sum(axis=(1, 2))
+    c = (gy * gy).sum(axis=(1, 2))
+    det = a * c - b * b
+    min_eig = 0.5 * ((a + c) - jnp.sqrt((a - c) ** 2 + 4 * b * b)) / (win * win)
+    solvable = (det > 1e-7) & (min_eig > 1e-4)
+    in_t = (
+        (pts_level[:, 0] - half >= 0) & (pts_level[:, 0] + half <= W - 1)
+        & (pts_level[:, 1] - half >= 0) & (pts_level[:, 1] + half <= H - 1)
+    )
+    runnable = solvable & in_t & level_fits
+    inv_det = jnp.where(det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
 
-        _, g_iter, _ = jax.lax.while_loop(cond, body, (0, g, jnp.asarray(False)))
-        g_out = jnp.where(runnable, g_iter, g)
-        if is_level0:
-            _, in_final = _sample_patches(J, g_out[None], win)
-            status = ok & runnable & in_final[0]
-        else:
-            status = ok
-        return g_out, status
+    # iterate in window-local coordinates; clamp keeps sampling in range
+    base = cur_corner.astype(jnp.float32)
+    lo = 0.5
+    hi = WEXT - win - 0.5
 
-    return jax.vmap(per_feature)(pts_level, guess, valid)
+    def body(state):
+        it, g_cur, done = state
+        ly = jnp.clip(g_cur[:, 1] - half - base[:, 1], lo, hi)
+        lx = jnp.clip(g_cur[:, 0] - half - base[:, 0], lo, hi)
+        Jp = _sample_from_windows(wins_j, ly, lx, win)
+        r = Jp - T
+        bx = (gx * r).sum(axis=(1, 2))
+        by = (gy * r).sum(axis=(1, 2))
+        dx = -(c * bx - b * by) * inv_det
+        dy = -(-b * bx + a * by) * inv_det
+        step = jnp.stack([dx, dy], axis=-1)
+        g_new = g_cur + jnp.where((runnable & ~done)[:, None], step, 0.0)
+        # keep the track inside its extracted window
+        g_new = jnp.stack(
+            [jnp.clip(g_new[:, 0], base[:, 0] + half + lo, base[:, 0] + half + hi),
+             jnp.clip(g_new[:, 1], base[:, 1] + half + lo, base[:, 1] + half + hi)],
+            axis=-1,
+        )
+        small = (dx * dx + dy * dy) <= eps * eps
+        return it + 1, g_new, done | small | ~runnable
+
+    def cond(state):
+        it, _, done = state
+        return (it < iters) & (~done.all())
+
+    _, g_iter, _ = jax.lax.while_loop(
+        cond, body, (0, guess, jnp.zeros(guess.shape[0], bool))
+    )
+    g_out = jnp.where(runnable[:, None], g_iter, guess)
+    if is_level0:
+        in_final = (
+            (g_out[:, 0] - half >= 0) & (g_out[:, 0] + half <= W - 1)
+            & (g_out[:, 1] - half >= 0) & (g_out[:, 1] + half <= H - 1)
+        )
+        status = valid & runnable & in_final
+    else:
+        status = valid
+    return g_out, status
 
 
 def lk_track(
