@@ -81,12 +81,16 @@ def num_levels(h: int, w: int, min_dim: int = 12) -> int:
 # Residual cost-volume matching (static shifts only)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("radius", "patch"))
-def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int):
+@functools.partial(jax.jit, static_argnames=("radius", "patch", "lk_only"))
+def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int,
+                   lk_only: bool = False):
     """Sub-pixel residual flow between I and pre-warped Jw.
 
     Returns (flow (B, H, W, 2), conf (B, H, W)).  All sampling is
-    static slicing of a padded Jw; no gathers.
+    static slicing of a padded Jw; no gathers.  With ``lk_only`` the
+    cost volume is skipped entirely — used by the finest-level
+    refinement rounds where the residual is already sub-pixel and only
+    the dense Gauss-Newton step carries information.
     """
     B, H, Wd = I.shape
     # normalize to 0..1: the integral-image cumsums stay well inside
@@ -107,6 +111,14 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int):
         s11 = cs[:, patch:, patch:]
         return (s11 - s01 - s10 + s00) * (1.0 / (patch * patch))
 
+    if lk_only:
+        return _lk_refine(I, Jw, agg)
+
+    # NOTE: the classic SSD expansion (aggI2 + aggJ2_shifted - 2*cross)
+    # is numerically unusable here: after the pre-warp the true costs
+    # are ~1e-3 while the expansion cancels ~0.3-magnitude integral
+    # sums, so float32 rounding noise swamps the argmin.  The direct
+    # form aggregates the (tiny) squared differences and stays exact.
     costs = []
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
@@ -156,6 +168,24 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int):
     # far better sub-pixel accuracy than the SSD parabola.  Where the
     # cost-volume says the residual is large (independently moving
     # content), keep the cost-volume estimate.
+    flow_lk, lk_mag, det_ok = _lk_step(I, Jw, agg)
+
+    cv_mag = jnp.linalg.norm(flow_cv, axis=-1)
+    use_lk = (cv_mag <= 1.0) & (lk_mag <= 1.5) & det_ok
+    flow = jnp.where(use_lk[..., None], flow_lk, flow_cv)
+
+    # densification: confidence-weighted local smoothing
+    wsum = agg(conf)
+    flow = jnp.stack(
+        [agg(flow[..., 0] * conf) / jnp.maximum(wsum, 1e-9),
+         agg(flow[..., 1] * conf) / jnp.maximum(wsum, 1e-9)],
+        axis=-1,
+    )
+    return flow, conf
+
+
+def _lk_step(I, Jw, agg):
+    """Dense one-step Gauss-Newton flow at u=0 (patch-aggregated)."""
     gx = 0.5 * (jnp.pad(Jw, ((0, 0), (0, 0), (0, 2)), mode="edge")[:, :, 2:]
                 - jnp.pad(Jw, ((0, 0), (0, 0), (2, 0)), mode="edge")[:, :, :-2])
     gy = 0.5 * (jnp.pad(Jw, ((0, 0), (0, 2), (0, 0)), mode="edge")[:, 2:, :]
@@ -173,16 +203,18 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int):
     uy = -(-a12 * b1 + a11 * b2) * inv_det
     lk_mag = jnp.sqrt(ux * ux + uy * uy)
     flow_lk = jnp.stack([jnp.clip(ux, -1.5, 1.5), jnp.clip(uy, -1.5, 1.5)], axis=-1)
+    return flow_lk, lk_mag, det_ok
 
-    cv_mag = jnp.linalg.norm(flow_cv, axis=-1)
-    use_lk = (cv_mag <= 1.0) & (lk_mag <= 1.5) & det_ok
-    flow = jnp.where(use_lk[..., None], flow_lk, flow_cv)
 
-    # densification: confidence-weighted local smoothing
+def _lk_refine(I, Jw, agg):
+    """LK-only refinement: flow + confidence without a cost volume."""
+    flow_lk, _, _ = _lk_step(I, Jw, agg)
+    cmin = agg((I - Jw) ** 2)
+    conf = 1.0 / (1.0 + cmin * 65025.0)
     wsum = agg(conf)
     flow = jnp.stack(
-        [agg(flow[..., 0] * conf) / jnp.maximum(wsum, 1e-9),
-         agg(flow[..., 1] * conf) / jnp.maximum(wsum, 1e-9)],
+        [agg(flow_lk[..., 0] * conf) / jnp.maximum(wsum, 1e-9),
+         agg(flow_lk[..., 1] * conf) / jnp.maximum(wsum, 1e-9)],
         axis=-1,
     )
     return flow, conf
@@ -352,11 +384,11 @@ def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds):
         Si = jnp.diag(jnp.asarray([0.5, 0.5, 1.0], jnp.float32))
         return S[None] @ M @ Si[None]
 
-    def refine_at(lvl, M):
+    def refine_at(lvl, M, lk_only=False):
         Il = pyr_I[lvl]
         Jl = pyr_J[lvl]
         Jw = _warp_similarity_device(Jl, M, pad_t=32, radius=4)
-        residual, conf = _residual_flow(Il, Jw, radius, patch)
+        residual, conf = _residual_flow(Il, Jw, radius, patch, lk_only)
         flow_level = _compose_flow(M, residual)
         return flow_level, conf
 
@@ -389,9 +421,14 @@ def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds):
     # fit->prewarp->re-estimate rounds at the finest level: the sub-pixel
     # estimators shrink systematically, so each round recovers that
     # fraction of the remaining global error (geometric convergence)
-    for _ in range(refine_rounds):
+    for rnd in range(refine_rounds):
         M = fit(flow_level, conf_level, M)
-        flow_level, conf_level = refine_at(finest, M)
+        # middle rounds only polish the global fit, where the dense LK
+        # step carries the signal; first and last rounds keep the full
+        # cost volume (first: large residuals may remain, last: moving
+        # content must retain its +-radius flow)
+        lk_only = 0 < rnd < refine_rounds - 1
+        flow_level, conf_level = refine_at(finest, M, lk_only=lk_only)
 
     flow = flow_level
     for lvl in range(finest, 0, -1):
