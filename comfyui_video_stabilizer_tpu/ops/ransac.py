@@ -143,10 +143,20 @@ def _ransac_single(key, p, q, valid, model: str, n_hyp: int, thresh: float):
     valid_f = valid.astype(jnp.float32)
     thresh_sq = thresh * thresh
 
+    # Hypothesis ranking only needs a representative subset; the
+    # winner's inlier set (and the acceptance confidence) is computed
+    # on the full point set in refine().  The subset is the deterministic
+    # valid-first prefix, i.e. an unbiased spatial sample of the grid.
+    n_score = min(P, 2048)
+    p_score = p_sorted[:n_score]
+    q_score = q_sorted[:n_score]
+    vcount_score = jnp.minimum(vcount, n_score).astype(jnp.float32)
+    score_valid = (jnp.arange(n_score) < vcount).astype(jnp.float32)
+
     def count_chunk(carry, hyp_chunk):
-        proj = jax.vmap(lambda H: _apply_homography(H, p))(hyp_chunk)   # (C, P, 2)
-        err = ((proj - q[None]) ** 2).sum(-1)
-        counts = ((err < thresh_sq) * valid_f[None]).sum(-1)            # (C,)
+        proj = jax.vmap(lambda H: _apply_homography(H, p_score))(hyp_chunk)
+        err = ((proj - q_score[None]) ** 2).sum(-1)
+        counts = ((err < thresh_sq) * score_valid[None]).sum(-1)        # (C,)
         return carry, counts
 
     n_chunks = max(1, n_hyp // _CHUNK)

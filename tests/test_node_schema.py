@@ -181,3 +181,51 @@ def test_replacement_spec():
     assert mapping["motion_meta"]["old_id"] == "meta"
     assert mapping["framing_mode"]["set_value"] == "crop_and_pad"
     assert mapping["interpolation"]["set_value"] == "bilinear"
+
+
+def test_node_level_classic_and_flow_execute():
+    """Full node execute path for both stabilizers (engines are tested
+    elsewhere; this covers the node shell: normalization, progress,
+    payload reconstruction)."""
+    rng = np.random.default_rng(5)
+    base = rng.random((120, 140, 3)).astype(np.float32)
+    frames = np.stack([np.roll(base, i * 2, axis=1)[10:106, 10:138] for i in range(5)])
+
+    for cls_name in ("VideoStabilizerClassic", "VideoStabilizerFlow"):
+        out = getattr(N, cls_name).execute(
+            frames, 16.0, "crop_and_pad", "similarity", False, 0.7, 0.5, 0.6, "#404040"
+        )
+        stabilized = np.asarray(out[0])
+        masks = np.asarray(out[1])
+        meta = out[2]
+        assert stabilized.shape == frames.shape, cls_name
+        assert masks.shape == frames.shape[:3], cls_name
+        assert meta["framing"]["padding_color_rgb"] == [64, 64, 64]
+        assert meta["frames"] == 5
+        assert "motion_meta" in meta
+
+    # dict-payload round trip through a stabilizer node
+    out = N.VideoStabilizerFlow.execute(
+        {"frames": frames, "fps": 24.0}, 16.0, "expand", "translation",
+        False, 0.8, 0.5, 0.6, "#7F7F7F",
+    )
+    assert isinstance(out[0], dict) and out[0]["fps"] == 24.0
+    assert out[2]["fps_effective"] == 16.0  # widget wins over dict fps
+
+
+def test_apply_pad_alias():
+    from comfyui_video_stabilizer_tpu.models import motion_apply as MA
+    from comfyui_video_stabilizer_tpu.models import shake as S
+    from comfyui_video_stabilizer_tpu.utils.video_io import normalize_video_input
+
+    rng = np.random.default_rng(2)
+    frames = rng.random((3, 48, 64, 3)).astype(np.float32)
+    meta = {"motion_meta": S.generate_shake_motion_meta(
+        recipe=S.STYLES["handheld"], frame_count=3, width=64, height=48,
+        fps=16.0, amount=1.0, speed=1.0, seed=1)}
+    a = MA.apply_motion(normalize_video_input(frames), meta, (127, 127, 127),
+                        framing_mode="pad")
+    b = MA.apply_motion(normalize_video_input(frames), meta, (127, 127, 127),
+                        framing_mode="crop_and_pad")
+    np.testing.assert_array_equal(np.asarray(a.frames), np.asarray(b.frames))
+    assert a.meta["motion_apply"]["framing_mode"] == "crop_and_pad"
