@@ -101,15 +101,20 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int,
     pad = radius
     Jp = jnp.pad(Jw, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
 
-    def agg(x):  # patch aggregation: O(1)-per-pixel integral-image box mean
+    def agg(x):
+        """Patch box mean via a shift-add tree: log2(patch) static-slice
+        adds per axis — no scans (TPU cumsum is multi-kernel) and no
+        integral-image cancellation error."""
         xp = jnp.pad(x, ((0, 0), (patch // 2, patch // 2 - 1), (patch // 2, patch // 2 - 1)), mode="edge")
-        cs = jnp.cumsum(jnp.cumsum(xp, axis=1), axis=2)
-        cs = jnp.pad(cs, ((0, 0), (1, 0), (1, 0)))
-        s00 = cs[:, :H, :Wd]
-        s01 = cs[:, :H, patch:]
-        s10 = cs[:, patch:, :Wd]
-        s11 = cs[:, patch:, patch:]
-        return (s11 - s01 - s10 + s00) * (1.0 / (patch * patch))
+        step = 1
+        while step < patch:
+            xp = xp[:, :-step, :] + xp[:, step:, :]
+            step *= 2
+        step = 1
+        while step < patch:
+            xp = xp[:, :, :-step] + xp[:, :, step:]
+            step *= 2
+        return xp * (1.0 / (patch * patch))
 
     if lk_only:
         return _lk_refine(I, Jw, agg)
