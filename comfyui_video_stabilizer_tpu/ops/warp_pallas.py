@@ -127,15 +127,14 @@ def _plan_for(coeffs: np.ndarray, out_h: int, out_w: int, in_h: int, in_w: int,
     k = k_fixed
 
     # Mosaic only DMAs HBM slices whose offsets sit on the (8, 128)
-    # tiling, so origins are aligned DOWN and the residual is absorbed
-    # in-kernel: the row residual (0..7) widens the masked ky range,
-    # the column residual (0..127) is removed with one dynamic lane
-    # roll of the loaded window (tpu dynamic_rotate).
-    # +7(+8) rows / +127 cols of slack for the origin-alignment residual.
-    # ww must be a POWER OF TWO: Mosaic's dynamic lane rotate is only
-    # correct when the row is a power-of-two number of 128-lane blocks
-    # (measured: width 384 rotates by shift+128).
-    wh = -(-(th + k + 7) // 8) * 8
+    # tiling, so origins are aligned DOWN and the residuals (0..7 rows,
+    # 0..127 cols) are removed in-kernel with dynamic rotates.  BOTH
+    # window dims must hold a power-of-two number of hardware blocks:
+    # the rotate is block-grouped otherwise (measured: width 384
+    # rotates by shift+128).
+    wh = 64
+    while wh < th + k + 7:
+        wh *= 2
     ww = 256
     while ww < tw + k - 1 + 127:
         ww *= 2
@@ -275,19 +274,20 @@ def _make_kernel(*, th, tw, wh, ww, ww2, k, n_th, n_tw, in_h, in_w, pad_y, pad_x
         cp.wait()
         cur = jax.lax.rem(tile_id, 2)
 
-        # The (0..127) column residual of the aligned DMA origin is
-        # removed with a dynamic lane rotate (correct because ww is a
-        # power of two — see _plan).  The (0..7) row residual is
-        # absorbed in the masked ky range.  Staged through scratch so
-        # the window isn't a live vector value across the accumulation.
+        # Dynamic rotates remove both origin-alignment residuals: the
+        # lane rotate needs ww to be a power of two (hardware rotates
+        # are block-grouped otherwise) and the sublane rotate likewise
+        # needs wh to be a power-of-two number of 8-row blocks — both
+        # enforced in _plan.  Staged through scratch so the window
+        # isn't a live vector value across the accumulation loop.
         for ch in range(channels):
-            rolled[ch] = pltpu.roll(win[cur, ch], -rx, 1)
+            rolled[ch] = pltpu.roll(pltpu.roll(win[cur, ch], -rx, 1), -ry, 0)
 
         accs = [jnp.zeros((th, tw), jnp.float32) for _ in range(channels)]
         wsum = jnp.zeros((th, tw), jnp.float32)
         wxs = [axis_weights(ex, ix, None, in_w, wx_tap, kx) for kx in range(k)]
-        for ky in range(k + 8):
-            wy = axis_weights(ey + ry, iy, None, in_h, wy_tap, ky)
+        for ky in range(k):
+            wy = axis_weights(ey, iy, None, in_h, wy_tap, ky)
             for kx in range(k):
                 wgt = wy * wxs[kx]
                 wsum = wsum + wgt
