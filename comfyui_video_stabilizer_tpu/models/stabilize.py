@@ -412,10 +412,10 @@ def stabilize_clip(
         stabilized, padding_masks = W.warp_clip_with_mask(
             frames, final_matrices, output_size, "bilinear", border
         )
-    # only the tiny per-frame stats leave the device
+    # only the tiny per-frame stats leave the device; masks are already
+    # zero-smalled, so any nonzero mean implies detectable padding
     padded_ratios = np.asarray(padding_masks.reshape(total_frames, -1).mean(axis=1))
-    padding_detected = bool((padded_ratios > 0).any() or
-                            float(padding_masks.max()) > 1e-3)
+    padding_detected = bool((padded_ratios > 0).any())
     framing_meta["padding_detected"] = padding_detected
     _tick(progress_total, progress_total)
 
