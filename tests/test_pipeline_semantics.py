@@ -126,3 +126,61 @@ def test_meta_schema_fields_per_framing():
         assert len(em["path"]) == 5
         assert len(em["target_path"]) == 5
         assert len(em["target_path_effective"]) == 5
+
+
+def test_classic_perspective_end_to_end():
+    rng = np.random.default_rng(7)
+    import cv2
+
+    base = cv2.GaussianBlur(rng.random((180, 220, 3)).astype(np.float32), (7, 7), 1.5)
+    for y in range(8, 172, 20):
+        for x in range(8, 212, 20):
+            base[y - 1 : y + 1, x - 1 : x + 1] = (x + y) % 2
+    frames = np.stack([base[6 + i : 102 + i, 8 + i : 136 + i] for i in range(5)])
+    res = stabilize_classic(
+        normalize_video_input(frames), "crop_and_pad", "perspective", False,
+        0.8, 0.5, 0.6, GRAY, 16.0,
+    )
+    em = res.meta["estimated_motion"]["per_transition"]
+    assert len(em) == 4
+    # sticky policy: the applied mode can only degrade over the clip
+    modes = [t["mode"] for t in em]
+    order = {"perspective": 0, "similarity": 1, "translation": 2}
+    ranks = [order[m] for m in modes]
+    assert ranks == sorted(ranks), modes
+    assert res.meta["transform_mode_requested"] == "perspective"
+    mats = np.asarray([t["matrix"] for t in em])
+    assert np.isfinite(mats).all()
+
+
+def test_node_blur_progress_ticks():
+    from comfyui_video_stabilizer_tpu import nodes as N
+    from comfyui_video_stabilizer_tpu.models import shake as S
+    import comfyui_video_stabilizer_tpu.nodes.motion_apply_node as MAN
+
+    rng = np.random.default_rng(3)
+    frames = rng.random((4, 40, 48, 3)).astype(np.float32)
+    meta = {"motion_meta": S.generate_shake_motion_meta(
+        recipe=S.STYLES["handheld"], frame_count=4, width=48, height=40,
+        fps=16.0, amount=1.0, speed=1.0, seed=2)}
+
+    ticks = []
+
+    class SpyBar:
+        def __init__(self, total):
+            self.total = total
+
+        def update_absolute(self, value, total=None):
+            ticks.append(value)
+
+    orig = MAN.ProgressBar
+    MAN.ProgressBar = SpyBar
+    try:
+        # Draft blur: 4 frames x 5 samples = 20 engine ticks + final
+        N.VideoStabilizerMotionApply.execute(
+            frames, meta, "crop_and_pad", "bilinear", "#7F7F7F", 0.4, "Draft"
+        )
+    finally:
+        MAN.ProgressBar = orig
+    assert max(ticks) == 20
+    assert ticks == sorted(ticks)
