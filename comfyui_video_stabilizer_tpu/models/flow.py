@@ -35,11 +35,13 @@ PERSP_MIN_RATIO = 0.15
 SIM_MIN_RATIO = 0.1
 
 
-def _grid_points(h: int, w: int, step: int) -> np.ndarray:
+@functools.lru_cache(maxsize=16)
+def _grid_points(h: int, w: int, step: int) -> jax.Array:
     ys = np.arange(0, h, step, dtype=np.int32)
     xs = np.arange(0, w, step, dtype=np.int32)
     gy, gx = np.meshgrid(ys, xs, indexing="ij")
-    return np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float32)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float32)
+    return jax.device_put(pts)  # cached device constant: no per-clip upload
 
 
 @functools.partial(jax.jit, static_argnames=("want_persp", "n_hyp", "step"))
@@ -87,7 +89,7 @@ def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> 
     want_persp = requested_mode == "perspective"
     try:
         flow, _conf = FD.dis_flow(grays)
-        pts = jnp.asarray(_grid_points(h, w, SAMPLE_STEP))
+        pts = _grid_points(h, w, SAMPLE_STEP)
         fused = jax.device_get(
             _fused_fits(flow, pts, seed, want_persp, RS.DEFAULT_HYPOTHESES, SAMPLE_STEP)
         )

@@ -154,3 +154,24 @@ def test_flow_perspective_mode_runs():
     assert "perspective" in fits.matrices
     # with a similarity ground truth, perspective fit should still be accepted
     assert fits.accepted["perspective"][0] or fits.accepted["similarity"][0]
+
+
+def test_area_resize_box_pool_fast_path_matches_dense_and_cv2():
+    """Integer-factor downscale: pooling fast path == dense INTER_AREA."""
+    import cv2
+
+    rng = np.random.default_rng(11)
+    x = (rng.random((3, 108, 192)) * 255).astype(np.float32)
+    pool = np.asarray(R.area_resize(x, (96, 54)))  # 2x: pooling path
+    dense = np.asarray(
+        R._area_resize_kernel(
+            x, np.asarray(R.area_weights(108, 54)), np.asarray(R.area_weights(192, 96))
+        )
+    )
+    assert np.abs(pool - dense).max() < 1e-4
+    cv = np.stack([cv2.resize(f, (96, 54), interpolation=cv2.INTER_AREA) for f in x])
+    assert np.abs(pool - cv).max() < 1e-4
+    # non-integer factor keeps the dense-matmul path and still matches cv2
+    y = np.asarray(R.area_resize(x, (100, 50)))
+    cvy = np.stack([cv2.resize(f, (100, 50), interpolation=cv2.INTER_AREA) for f in x])
+    assert np.abs(y - cvy).max() < 1e-3
