@@ -39,14 +39,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 # (KH, KW) static window-span variants; K covers integer-displacement
 # span + the +1 bilinear tap + 1 safety.  Bicubic needs +2 more.
-_K_VARIANTS = (6, 10, 18)
+_K_VARIANTS = (4, 6, 10, 18)
 _MAX_K = _K_VARIANTS[-1]
 
 
 # Mosaic allocates one stack slot per unrolled temporary (no reuse), so
-# the tile height shrinks as the window span K (= unrolled term count
+# the tile area shrinks as the window span K (= unrolled term count
 # (K+8)*K) grows, keeping the per-kernel stack under the VMEM limit.
-_K_TILE = ((6, 64, 128), (10, 32, 128), (18, 16, 128))
+# The kernel is VPU-compute-bound (measured: bicubic runs ~2x bilinear
+# at identical DMA traffic), so the K=4 variant — which gentle
+# stabilization warps usually satisfy — cuts the K*K tap loop from 36
+# to 16 slice-FMAs.  A device sweep of (th, tw) showed (64, 128) beats
+# both smaller tiles (more per-tile fixed cost) and tw=256 (Mosaic's
+# unaligned-lane slices of wide tiles run far slower).
+_K_TILE = ((4, 64, 128), (6, 64, 128), (10, 32, 128), (18, 16, 128))
 
 
 # ---------------------------------------------------------------------------
@@ -115,8 +121,14 @@ def _plan_for(coeffs: np.ndarray, out_h: int, out_w: int, in_h: int, in_w: int,
     by_min, by_max = tile_minmax(by, n_tw, 2)
     by_min, _ = tile_minmax(by_min, n_th, 1)
     _, by_max = tile_minmax(by_max, n_th, 1)
-    # safety for the sampled bound + fractional-floor edge cases
-    margin = 2
+    # Safety for the sampled bound.  For affine warps (g = h = 0: the
+    # translation/similarity modes) the displacement field is linear,
+    # so corner samples bound it exactly and floor() adds at most 1
+    # (bx = h_affine(x) - frac(g(x)) with h_affine cornered exactly);
+    # margin 1 is provably sufficient.  Projective fields need another
+    # +1 for the sampled-bound looseness.
+    affine = bool(np.all(np.abs(coeffs[:, 6:8]) < 1e-12))
+    margin = 1 if affine else 2
     span = max(
         float((bx_max - bx_min).max(initial=0)),
         float((by_max - by_min).max(initial=0)),
@@ -286,6 +298,9 @@ def _make_kernel(*, th, tw, wh, ww, ww2, k, n_th, n_tw, in_h, in_w, pad_y, pad_x
         accs = [jnp.zeros((th, tw), jnp.float32) for _ in range(channels)]
         wsum = jnp.zeros((th, tw), jnp.float32)
         wxs = [axis_weights(ex, ix, None, in_w, wx_tap, kx) for kx in range(k)]
+        # NOTE: wsum factors as (sum wy)*(sum wx) mathematically, but the
+        # factored form measured no faster on device (precomputing all
+        # wy rows raises live-value pressure); keep the accumulated form.
         for ky in range(k):
             wy = axis_weights(ey, iy, None, in_h, wy_tap, ky)
             for kx in range(k):
