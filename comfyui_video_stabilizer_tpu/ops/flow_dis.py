@@ -81,6 +81,31 @@ def num_levels(h: int, w: int, min_dim: int = 12) -> int:
 # Residual cost-volume matching (static shifts only)
 # ---------------------------------------------------------------------------
 
+def _make_agg(patch: int):
+    """Patch box mean over the LAST TWO axes via a shift-add tree:
+    log2(patch) static-slice adds per axis — no scans (TPU cumsum is
+    multi-kernel) and no integral-image cancellation error.  Rank-
+    agnostic so many fields/candidates batch through one aggregation."""
+
+    def agg(x):
+        padw = [(0, 0)] * (x.ndim - 2) + [
+            (patch // 2, patch // 2 - 1),
+            (patch // 2, patch // 2 - 1),
+        ]
+        xp = jnp.pad(x, padw, mode="edge")
+        step = 1
+        while step < patch:
+            xp = xp[..., : -step, :] + xp[..., step:, :]
+            step *= 2
+        step = 1
+        while step < patch:
+            xp = xp[..., : -step] + xp[..., step:]
+            step *= 2
+        return xp * (1.0 / (patch * patch))
+
+    return agg
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "patch", "lk_only"))
 def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int,
                    lk_only: bool = False):
@@ -101,20 +126,7 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int,
     pad = radius
     Jp = jnp.pad(Jw, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
 
-    def agg(x):
-        """Patch box mean via a shift-add tree: log2(patch) static-slice
-        adds per axis — no scans (TPU cumsum is multi-kernel) and no
-        integral-image cancellation error."""
-        xp = jnp.pad(x, ((0, 0), (patch // 2, patch // 2 - 1), (patch // 2, patch // 2 - 1)), mode="edge")
-        step = 1
-        while step < patch:
-            xp = xp[:, :-step, :] + xp[:, step:, :]
-            step *= 2
-        step = 1
-        while step < patch:
-            xp = xp[:, :, :-step] + xp[:, :, step:]
-            step *= 2
-        return xp * (1.0 / (patch * patch))
+    agg = _make_agg(patch)
 
     if lk_only:
         return _lk_refine(I, Jw, agg)
@@ -124,6 +136,9 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int,
     # are ~1e-3 while the expansion cancels ~0.3-magnitude integral
     # sums, so float32 rounding noise swamps the argmin.  The direct
     # form aggregates the (tiny) squared differences and stays exact.
+    # (A batched (B,k,k,H,W) candidate stack was tried to cut the op
+    # count 3x, but the materialized stack + its layout copies measured
+    # SLOWER end-to-end than the unrolled slice+agg chains; keep these.)
     costs = []
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
@@ -179,11 +194,11 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int,
     use_lk = (cv_mag <= 1.0) & (lk_mag <= 1.5) & det_ok
     flow = jnp.where(use_lk[..., None], flow_lk, flow_cv)
 
-    # densification: confidence-weighted local smoothing
-    wsum = agg(conf)
+    # densification: confidence-weighted local smoothing (one batched agg)
+    num = agg(jnp.stack([flow[..., 0] * conf, flow[..., 1] * conf, conf], axis=1))
     flow = jnp.stack(
-        [agg(flow[..., 0] * conf) / jnp.maximum(wsum, 1e-9),
-         agg(flow[..., 1] * conf) / jnp.maximum(wsum, 1e-9)],
+        [num[:, 0] / jnp.maximum(num[:, 2], 1e-9),
+         num[:, 1] / jnp.maximum(num[:, 2], 1e-9)],
         axis=-1,
     )
     return flow, conf
@@ -196,11 +211,9 @@ def _lk_step(I, Jw, agg):
     gy = 0.5 * (jnp.pad(Jw, ((0, 0), (0, 2), (0, 0)), mode="edge")[:, 2:, :]
                 - jnp.pad(Jw, ((0, 0), (2, 0), (0, 0)), mode="edge")[:, :-2, :])
     e = Jw - I
-    a11 = agg(gx * gx)
-    a12 = agg(gx * gy)
-    a22 = agg(gy * gy)
-    b1 = agg(gx * e)
-    b2 = agg(gy * e)
+    # five normal-equation fields through ONE batched aggregation
+    fields = jnp.stack([gx * gx, gx * gy, gy * gy, gx * e, gy * e], axis=1)
+    a11, a12, a22, b1, b2 = jnp.moveaxis(agg(fields), 1, 0)
     det = a11 * a22 - a12 * a12
     det_ok = det > 1e-6
     inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
@@ -216,10 +229,10 @@ def _lk_refine(I, Jw, agg):
     flow_lk, _, _ = _lk_step(I, Jw, agg)
     cmin = agg((I - Jw) ** 2)
     conf = 1.0 / (1.0 + cmin * 65025.0)
-    wsum = agg(conf)
+    num = agg(jnp.stack([flow_lk[..., 0] * conf, flow_lk[..., 1] * conf, conf], axis=1))
     flow = jnp.stack(
-        [agg(flow_lk[..., 0] * conf) / jnp.maximum(wsum, 1e-9),
-         agg(flow_lk[..., 1] * conf) / jnp.maximum(wsum, 1e-9)],
+        [num[:, 0] / jnp.maximum(num[:, 2], 1e-9),
+         num[:, 1] / jnp.maximum(num[:, 2], 1e-9)],
         axis=-1,
     )
     return flow, conf
@@ -360,6 +373,9 @@ def _warp_similarity_device(img: jnp.ndarray, M: jnp.ndarray, pad_t: int, radius
     ex = fdx.astype(jnp.int32) + radius  # in [1, 2*radius-1]
     ey = fdy.astype(jnp.int32) + radius
 
+    # (2r+1)^2 unrolled masked shift-FMAs; a stacked-candidate einsum
+    # variant measured slower end-to-end (materialized (B,k,k,H,W)
+    # stack + layout copies outweigh the saved op launches).
     sp = jnp.pad(shifted, ((0, 0), (radius, radius + 1), (radius, radius + 1)), mode="edge")
     out = jnp.zeros_like(img)
     for ky in range(2 * radius + 1):
@@ -389,11 +405,13 @@ def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds):
         Si = jnp.diag(jnp.asarray([0.5, 0.5, 1.0], jnp.float32))
         return S[None] @ M @ Si[None]
 
-    def refine_at(lvl, M, lk_only=False):
+    def refine_at(lvl, M, lk_only=False, level_radius=None):
         Il = pyr_I[lvl]
         Jl = pyr_J[lvl]
         Jw = _warp_similarity_device(Jl, M, pad_t=32, radius=4)
-        residual, conf = _residual_flow(Il, Jw, radius, patch, lk_only)
+        residual, conf = _residual_flow(
+            Il, Jw, radius if level_radius is None else level_radius, patch, lk_only
+        )
         flow_level = _compose_flow(M, residual)
         return flow_level, conf
 
@@ -431,9 +449,15 @@ def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds):
         # middle rounds only polish the global fit, where the dense LK
         # step carries the signal; first and last rounds keep the full
         # cost volume (first: large residuals may remain, last: moving
-        # content must retain its +-radius flow)
+        # content must retain its +-radius flow).  Rounds after the
+        # first run behind a pre-warp whose global error is already
+        # sub-pixel, so a radius-2 search (25 candidates vs 49) keeps
+        # the +-2 px moving-content range while halving the volume.
         lk_only = 0 < rnd < refine_rounds - 1
-        flow_level, conf_level = refine_at(finest, M, lk_only=lk_only)
+        level_radius = radius if rnd == 0 else min(radius, 2)
+        flow_level, conf_level = refine_at(
+            finest, M, lk_only=lk_only, level_radius=level_radius
+        )
 
     flow = flow_level
     for lvl in range(finest, 0, -1):
