@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 # (KH, KW) static window-span variants; K covers integer-displacement
 # span + the +1 bilinear tap + 1 safety.  Bicubic needs +2 more.
-_K_VARIANTS = (4, 6, 10, 18)
+_K_VARIANTS = (4, 5, 6, 10, 18)
 _MAX_K = _K_VARIANTS[-1]
 
 
@@ -52,7 +52,7 @@ _MAX_K = _K_VARIANTS[-1]
 # to 16 slice-FMAs.  A device sweep of (th, tw) showed (64, 128) beats
 # both smaller tiles (more per-tile fixed cost) and tw=256 (Mosaic's
 # unaligned-lane slices of wide tiles run far slower).
-_K_TILE = ((4, 64, 128), (6, 64, 128), (10, 32, 128), (18, 16, 128))
+_K_TILE = ((4, 64, 128), (5, 64, 128), (6, 64, 128), (10, 32, 128), (18, 16, 128))
 
 
 # ---------------------------------------------------------------------------
