@@ -200,53 +200,85 @@ def _sample_from_windows(windows: jnp.ndarray, off_y: jnp.ndarray, off_x: jnp.nd
 
     patch = A(off_y) @ window @ B(off_x)^T, exact bilinear.
     """
-    A = _interp_matrix(off_y, size, WEXT)
-    Bm = _interp_matrix(off_x, size, WEXT)
+    wext = windows.shape[-1]
+    A = _interp_matrix(off_y, size, wext)
+    Bm = _interp_matrix(off_x, size, wext)
     tmp = jnp.einsum("fij,fjk->fik", A, windows, preferred_element_type=jnp.float32)
     return jnp.einsum("fik,flk->fil", tmp, Bm, preferred_element_type=jnp.float32)
 
 
-def _extract_windows(img: jnp.ndarray, corners: jnp.ndarray) -> jnp.ndarray:
-    """img (H, W), corners (F, 2) int xy -> (F, WEXT, WEXT) windows.
+def _extract_windows_batched(stack: jnp.ndarray, corners: jnp.ndarray, wext: int,
+                             chunk: int = 8) -> jnp.ndarray:
+    """(B, H, W) stack + (B, F, 2) int xy corners -> (B, F, wext, wext).
 
-    One vmapped dynamic_slice per feature: a slice-gather with large
-    contiguous blocks, the only gather left in the tracker.
+    Window extraction as one-hot SELECTION MATMULS on the MXU instead
+    of per-feature slices: a (vmapped) dynamic_slice per feature
+    scalarizes into B*F separate slice+update kernel launches, and on
+    TPU the per-launch runtime overhead dwarfs the copies (measured:
+    8.6 s wall for 0.37 s of device work at 480p/64 frames/400
+    features).  Row/column one-hot matmuls are exact in float32 (each
+    output sums exactly one nonzero product) and run as TWO batched
+    matmul kernels per chunk.  Chunking over pairs bounds the one-hot
+    and row-strip intermediates to a few hundred MB.
     """
-    H, W = img.shape
-    pad = WEXT
-    padded = jnp.pad(img, ((pad, pad), (pad, pad)))
+    B, H, W = stack.shape
+    F = corners.shape[1]
+    pad = wext
+    padded = jnp.pad(stack, ((0, 0), (pad, pad), (pad, pad)))
+    Hp, Wp = H + 2 * pad, W + 2 * pad
+    # dynamic_slice semantics: clamp the start so the window stays inside
+    cy = jnp.clip(corners[..., 1] + pad, 0, Hp - wext)
+    cx = jnp.clip(corners[..., 0] + pad, 0, Wp - wext)
 
-    def one(c):
-        return jax.lax.dynamic_slice(
-            padded, (c[1] + pad, c[0] + pad), (WEXT, WEXT)
-        )
+    nb = -(-B // chunk)
+    pad_b = nb * chunk - B
+    padded = jnp.pad(padded, ((0, pad_b), (0, 0), (0, 0)))
+    cy = jnp.pad(cy, ((0, pad_b), (0, 0)))
+    cx = jnp.pad(cx, ((0, pad_b), (0, 0)))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wext), 2)
 
-    return jax.vmap(one)(corners)
+    def one_chunk(_, args):
+        img_c, cy_c, cx_c = args                       # (c,Hp,Wp), (c,F), (c,F)
+        rows = cy_c[..., None] + idx                   # (c, F, wext)
+        ysel = jax.nn.one_hot(rows, Hp, dtype=jnp.float32)
+        strip = jnp.einsum("cfyh,chw->cfyw", ysel, img_c,
+                           preferred_element_type=jnp.float32)
+        cols = cx_c[..., None] + idx
+        xsel = jax.nn.one_hot(cols, Wp, dtype=jnp.float32)
+        out = jnp.einsum("cfyw,cfxw->cfyx", strip, xsel,
+                         preferred_element_type=jnp.float32)
+        return None, out
+
+    _, wins = jax.lax.scan(
+        one_chunk, None,
+        (padded.reshape(nb, chunk, Hp, Wp),
+         cy.reshape(nb, chunk, F), cx.reshape(nb, chunk, F)),
+    )
+    return wins.reshape(nb * chunk, F, wext, wext)[:B]
 
 
-def _lk_level(I, J, dIx, dIy, pts_level, guess, valid, win, iters, eps, is_level0):
+def _lk_level(wins_t, wins_gx, wins_gy, wins_j, pts_level, guess, valid,
+              H, W, win, iters, eps, is_level0):
     """One pyramid level for one pair, all features batched.
 
-    cv2 semantics: upper levels never kill a track — a point whose
-    window leaves the image or whose normal matrix is ill-conditioned
-    simply keeps its guess; only level 0 folds those conditions into
-    the returned status.
+    Windows are pre-extracted for ALL pairs at once (see
+    _extract_windows_batched); this function only does the batched
+    Gauss-Newton solve.  cv2 semantics: upper levels never kill a
+    track — a point whose window leaves the image or whose normal
+    matrix is ill-conditioned simply keeps its guess; only level 0
+    folds those conditions into the returned status.
     """
-    H, W = I.shape
     level_fits = min(H, W) >= win
     half = win // 2
 
     # integer window corners (top-left of the extracted block)
     tpl_corner = jnp.floor(pts_level).astype(jnp.int32) - half - 1
     cur_corner = jnp.floor(guess).astype(jnp.int32) - half - TRAVEL
-    wins_t = _extract_windows(I, tpl_corner)
-    wins_gx = _extract_windows(dIx, tpl_corner)
-    wins_gy = _extract_windows(dIy, tpl_corner)
-    wins_j = _extract_windows(J, cur_corner)
 
     # template + gradients at the feature's exact subpixel position
-    t_off_y = pts_level[:, 1] - half - tpl_corner[:, 1].astype(jnp.float32)
-    t_off_x = pts_level[:, 0] - half - tpl_corner[:, 0].astype(jnp.float32)
+    # (+1: the template window is shifted one cell by the reflect halo)
+    t_off_y = pts_level[:, 1] - half - tpl_corner[:, 1].astype(jnp.float32) + 1.0
+    t_off_x = pts_level[:, 0] - half - tpl_corner[:, 0].astype(jnp.float32) + 1.0
     T = _sample_from_windows(wins_t, t_off_y, t_off_x, win)
     gx = _sample_from_windows(wins_gx, t_off_y, t_off_x, win)
     gy = _sample_from_windows(wins_gy, t_off_y, t_off_x, win)
@@ -331,28 +363,14 @@ def lk_track(
     tracked = np.zeros_like(pts)
     status = np.zeros((B, F), bool)
 
-    # Precompute derivative stacks per level once (batched conv, on device).
-    dIx_levels = []
-    dIy_levels = []
-    for lvl in range(max_level + 1):
-        I_stack = jnp.asarray(prev_pyr[lvl])
-        dIx_levels.append(_conv2(I_stack, _SCHARR_LK_X / 32.0))
-        dIy_levels.append(_conv2(I_stack, _SCHARR_LK_Y / 32.0))
-
     guesses = pts / (2.0 ** max_level)
     pts_scaled = {lvl: pts / (2.0 ** lvl) for lvl in range(max_level + 1)}
     valid = jnp.asarray(valid0)
     g = jnp.asarray(guesses)
-    level_fn = jax.jit(
-        jax.vmap(_lk_level, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None)),
-        static_argnums=(7, 8, 10),
-    )
     for lvl in range(max_level, -1, -1):
-        g, status_l = level_fn(
+        g, status_l = _lk_level_all(
             jnp.asarray(prev_pyr[lvl]),
             jnp.asarray(curr_pyr[lvl]),
-            jnp.asarray(dIx_levels[lvl]),
-            jnp.asarray(dIy_levels[lvl]),
             jnp.asarray(pts_scaled[lvl]),
             g,
             valid,
@@ -366,3 +384,41 @@ def lk_track(
         valid = valid & status_l
 
     return g, valid  # device arrays; consumers are the RANSAC device fits
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters", "is_level0"))
+def _lk_level_all(I_stack, J_stack, pts_level, guess, valid, win, iters, eps,
+                  is_level0):
+    """One pyramid level for ALL pairs: batched window extraction
+    (one-hot matmuls) + the vmapped per-pair Gauss-Newton solve.
+
+    Template windows carry a 1-px halo (extracted from a reflect-101
+    padded stack, matching the full-image derivative's edge handling)
+    so the Scharr gradients come from a batched conv ON the windows
+    instead of separate dIx/dIy extractions.  Sampled rows sit >= 2
+    cells inside the window, so every conv tap reads a real extracted
+    cell and the gradient values match the full-image convolution
+    exactly for every live track.
+    """
+    B, H, W = I_stack.shape
+    F = pts_level.shape[1]
+    half = win // 2
+    wext_t = win + 5
+
+    tpl_corner = jnp.floor(pts_level).astype(jnp.int32) - half - 1
+    cur_corner = jnp.floor(guess).astype(jnp.int32) - half - TRAVEL
+    # reflect halo shifts window row r to image row corner + r - 1
+    Ir = jnp.pad(I_stack, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    wins_t = _extract_windows_batched(Ir, tpl_corner, wext_t)
+    wins_j = _extract_windows_batched(J_stack, cur_corner, WEXT)
+    wins_gx = _conv2(wins_t.reshape(B * F, wext_t, wext_t), _SCHARR_LK_X / 32.0)
+    wins_gy = _conv2(wins_t.reshape(B * F, wext_t, wext_t), _SCHARR_LK_Y / 32.0)
+    wins_gx = wins_gx.reshape(B, F, wext_t, wext_t)
+    wins_gy = wins_gy.reshape(B, F, wext_t, wext_t)
+
+    solve = jax.vmap(
+        functools.partial(_lk_level, H=H, W=W, win=win, iters=iters, eps=eps,
+                          is_level0=is_level0),
+        in_axes=(0, 0, 0, 0, 0, 0, 0),
+    )
+    return solve(wins_t, wins_gx, wins_gy, wins_j, pts_level, guess, valid)
