@@ -166,6 +166,161 @@ def jit_stabilize_step(frames, strength, window, border):
     return stabilize_step(frames, strength, window, border)
 
 
+# ---------------------------------------------------------------------------
+# Similarity-model sharded step
+# ---------------------------------------------------------------------------
+
+def _similarity_from_params(tx, ty, ang, logs):
+    """(B,) params -> (B, 3, 3) similarity matrices."""
+    s = jnp.exp(logs)
+    ca = s * jnp.cos(ang)
+    sa = s * jnp.sin(ang)
+    z = jnp.zeros_like(tx)
+    o = jnp.ones_like(tx)
+    return jnp.stack(
+        [jnp.stack([ca, -sa, tx], -1),
+         jnp.stack([sa, ca, ty], -1),
+         jnp.stack([z, z, o], -1)],
+        axis=-2,
+    )
+
+
+def _params_from_similarity(M):
+    """(B, 3, 3) -> (tx, ty, angle, log-scale), each (B,)."""
+    ang = jnp.arctan2(M[:, 1, 0], M[:, 0, 0])
+    s = jnp.sqrt(M[:, 0, 0] ** 2 + M[:, 1, 0] ** 2)
+    return M[:, 0, 2], M[:, 1, 2], ang, jnp.log(jnp.maximum(s, 1e-6))
+
+
+def _estimate_similarity_pairs(grays: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) -> per-pair similarity (N-1, 3, 3), fully in-graph.
+
+    Translation seed from FFT phase correlation, then a dense
+    patch-aggregated Gauss-Newton flow refinement (ops/flow_dis's
+    _lk_step) behind the integer pre-shift, robust-fit to a global
+    similarity (IRLS, _fit_similarity_dense).  Pairs shard over the
+    mesh's 'data' axis; every op here is batched over pairs, so GSPMD
+    parallelizes it without host involvement.  (The host pipelines keep
+    the full coarse-to-fine DIS estimator; this single-jit step trades
+    its large-motion range for zero host round-trips.)
+    """
+    from ..ops import flow_dis as FD
+
+    deltas = _phase_correlate_pairs(grays)          # (B, 2) translation seed
+    B = deltas.shape[0]
+    # seed maps I coords -> J coords (J(seed @ x) ~= I(x)); empirically
+    # validated against warp_clip-generated ground truth in
+    # tests/test_parallel.py
+    seed = jnp.zeros((B, 3, 3), jnp.float32) + jnp.eye(3, dtype=jnp.float32)
+    seed = seed.at[:, 0, 2].set(deltas[:, 0]).at[:, 1, 2].set(deltas[:, 1])
+
+    J = grays[1:]
+    I = grays[:-1]
+    agg = FD._make_agg(8)
+    M = seed
+    for _ in range(2):  # fit -> prewarp -> refit: geometric convergence
+        Jw = FD._warp_similarity_device(J, M, pad_t=32, radius=4)
+        flow_lk, _, _ = FD._lk_step(I * (1.0 / 255.0), Jw * (1.0 / 255.0), agg)
+        cmin = agg(((I - Jw) * (1.0 / 255.0)) ** 2)
+        conf = 1.0 / (1.0 + cmin * 65025.0)
+        residual = FD._compose_flow(M, flow_lk)
+        Mn = FD._fit_similarity_dense(residual, conf, 4)
+        # guard: keep the previous estimate when the dense fit is degenerate
+        sc2 = Mn[:, 0, 0] ** 2 + Mn[:, 1, 0] ** 2
+        ok = jnp.isfinite(Mn).all(axis=(1, 2)) & (sc2 > 0.25) & (sc2 < 4.0)
+        M = jnp.where(ok[:, None, None], Mn, M)
+    return M
+
+
+def stabilize_step_similarity(
+    frames: jnp.ndarray,
+    strength: float,
+    window: int,
+    border: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Whole-clip SIMILARITY stabilization as one traced program.
+
+    Sequence-global patterns over the mesh: pairwise estimation
+    (data-sharded pairs), path integration as an associative MATRIX
+    scan (3x3 composition is associative, so the sharded time axis
+    integrates in log depth), parameter-space smoothing, a global
+    recenter reduction, and a gather-free masked-shift similarity warp
+    whose static row/column shifts become halo exchanges when H is
+    sharded.
+    """
+    from ..ops import flow_dis as FD
+
+    n, h, w, _ = frames.shape
+    grays = jnp.einsum("nhwc,c->nhw", frames, jnp.asarray(_LUMA)) * 255.0
+    grays = _constrain(grays, ("data", None, None))
+    pair_M = _estimate_similarity_pairs(grays)      # maps frame k -> k+1 view
+
+    # camera path: P_0 = I, P_k = M_{k-1} @ P_{k-1} (log-depth matmul scan)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 3, 3))
+    path_M = jnp.concatenate(
+        [eye, jax.lax.associative_scan(lambda a, b: jnp.einsum("...ij,...jk->...ik", b, a), pair_M, axis=0)]
+    )
+    tx, ty, ang, logs = _params_from_similarity(path_M)
+    params = jnp.stack([tx, ty, ang, logs], axis=-1)
+    target = params + strength * (_smooth(params, window) - params)
+    diff = target - params                           # correction in param space
+    corr_M = _similarity_from_params(diff[:, 0], diff[:, 1], diff[:, 2], diff[:, 3])
+
+    # crop_and_pad recenter: translate so the global content box centers
+    cx = jnp.stack([corr_M[:, 0, 2], corr_M[:, 1, 2]], axis=-1)
+    x0 = jnp.max(-cx[:, 0])
+    y0 = jnp.max(-cx[:, 1])
+    x1 = jnp.min(-cx[:, 0] + w)
+    y1 = jnp.min(-cx[:, 1] + h)
+    offset = jnp.stack([w * 0.5 - (x0 + x1) * 0.5, h * 0.5 - (y0 + y1) * 0.5])
+    corr_M = corr_M.at[:, 0, 2].add(offset[0]).at[:, 1, 2].add(offset[1])
+
+    # warp: sampling map out(x) = frame(Minv @ x)
+    Minv = jnp.linalg.inv(corr_M)
+    frames = _constrain(frames, ("data", "spatial", None, None))
+    chans = jnp.moveaxis(frames, -1, 1).reshape(n * 3, h, w)
+    Minv3 = jnp.repeat(Minv, 3, axis=0)
+    warped = FD._warp_similarity_device(chans, Minv3, pad_t=32, radius=4)
+    warped = jnp.moveaxis(warped.reshape(n, 3, h, w), 1, -1)
+
+    # closed-form coverage mask from the inverse map
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[None]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[None]
+    sx = Minv[:, 0, 0][:, None, None] * xx + Minv[:, 0, 1][:, None, None] * yy + Minv[:, 0, 2][:, None, None]
+    sy = Minv[:, 1, 0][:, None, None] * xx + Minv[:, 1, 1][:, None, None] * yy + Minv[:, 1, 2][:, None, None]
+    inside = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    warped = jnp.where(inside[..., None], warped, border[None, None, None, :])
+    masks = 1.0 - inside.astype(jnp.float32)
+    warped = _constrain(warped, ("data", "spatial", None, None))
+    masks = _constrain(masks, ("data", "spatial", None))
+    return warped, masks, corr_M
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def jit_stabilize_step_similarity(frames, strength, window, border):
+    return stabilize_step_similarity(frames, strength, window, border)
+
+
+def sharded_stabilize_similarity(
+    frames: np.ndarray,
+    mesh: Mesh,
+    strength: float = 1.0,
+    window: int = 5,
+    border: Tuple[float, float, float] = (0.5, 0.5, 0.5),
+):
+    """Similarity-model single-jit step with the clip sharded over the mesh."""
+    in_spec = P("data", "spatial", None, None)
+    frames_sharded = jax.device_put(
+        np.asarray(frames, np.float32), NamedSharding(mesh, in_spec)
+    )
+    border_arr = jnp.asarray(border, jnp.float32)
+    with jax.sharding.set_mesh(mesh):
+        out = jit_stabilize_step_similarity(
+            frames_sharded, jnp.float32(strength), int(window), border_arr
+        )
+    return tuple(np.asarray(o) for o in out)
+
+
 def sharded_stabilize(
     frames: np.ndarray,
     mesh: Mesh,

@@ -44,3 +44,55 @@ def test_graft_entry_contract():
     assert np.isfinite(np.asarray(out[0])).all()
 
     GE.dryrun_multichip(8)
+
+
+def test_sharded_similarity_step_recovers_motion_and_matches_single():
+    from comfyui_video_stabilizer_tpu.parallel.mesh import make_mesh
+    from comfyui_video_stabilizer_tpu.parallel import pipeline as PL
+    from comfyui_video_stabilizer_tpu.ops import warp as W
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    base = rng.random((180, 260, 3)).astype(np.float32)
+    # known similarity camera motion: translation + slight rotation
+    mats = []
+    for i in range(16):
+        ang = 0.004 * np.sin(1.1 * i)
+        dx, dy = 3.0 * np.sin(0.9 * i), 2.5 * np.cos(0.7 * i)
+        mats.append(np.array([
+            [np.cos(ang), -np.sin(ang), dx],
+            [np.sin(ang), np.cos(ang), dy],
+            [0, 0, 1.0],
+        ]))
+    view = np.stack(mats)
+    frames = np.asarray(W.warp_clip(
+        np.repeat(base[None], 16, 0), view, (260, 180), "bilinear", (0.5, 0.5, 0.5)
+    ))[:, 20:148, 50:242]  # (16, 128, 192, 3)
+
+    # pair estimation recovers the true relative motion
+    grays = np.einsum("nhwc,c->nhw", frames, PL._LUMA) * 255.0
+    pair_M = np.asarray(PL._estimate_similarity_pairs(jnp.asarray(grays)))
+    crop = np.array([[1, 0, -50.0], [0, 1, -20.0], [0, 0, 1]])
+    for k in range(15):
+        # pair_M maps I coords -> J coords: with frame_k(x) =
+        # base(inv(view_k)(x + c)), M = T_-c view_{k+1} inv(view_k) T_c
+        true_rel = crop @ mats[k + 1] @ np.linalg.inv(mats[k]) @ np.linalg.inv(crop)
+        assert abs(pair_M[k, 0, 2] - true_rel[0, 2]) < 0.6, k
+        assert abs(pair_M[k, 1, 2] - true_rel[1, 2]) < 0.6, k
+        assert abs(pair_M[k, 0, 0] - true_rel[0, 0]) < 0.01, k
+
+    # sharded == single-device, and the step actually stabilizes
+    mesh = make_mesh(8)
+    warped, masks, corr = PL.sharded_stabilize_similarity(frames, mesh, strength=1.0, window=15)
+    ref = PL.jit_stabilize_step_similarity(
+        jnp.asarray(frames), jnp.float32(1.0), 15, jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+    )
+    np.testing.assert_allclose(warped, np.asarray(ref[0]), atol=2e-4)
+    np.testing.assert_allclose(masks, np.asarray(ref[1]), atol=1e-5)
+    assert np.isfinite(corr).all()
+
+    interior = (slice(None), slice(32, 96), slice(48, 144))
+    var_in = np.var(frames[interior], axis=0).mean()
+    var_out = np.var(warped[interior], axis=0).mean()
+    assert var_out < 0.5 * var_in, (var_in, var_out)
