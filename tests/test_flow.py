@@ -73,10 +73,12 @@ def test_flow_epe_vs_truth_and_cv2():
     cvflow = dis.calc(frames[0].astype(np.uint8), frames[1].astype(np.uint8), None)
     epe_cv = np.linalg.norm((cvflow[None] - truth[None])[interior], axis=-1).mean()
 
-    # both must nail the global motion; ours within 1.5x of cv2's EPE
-    # and absolutely accurate to sub-pixel
-    assert epe_ours < 0.35, f"ours EPE {epe_ours}, cv2 {epe_cv}"
-    assert epe_ours < max(3.0 * epe_cv, 0.25), f"ours {epe_ours} vs cv2 {epe_cv}"
+    # both must nail the global motion: ours must match cv2's accuracy
+    # (BASELINE: flow EPE within 1e-3 of the OpenCV oracle, expressed
+    # as a ratio gate so scene-difficulty scales both sides), and be
+    # absolutely sub-0.15 px on this gentle synthetic scene
+    assert epe_ours < 0.15, f"ours EPE {epe_ours}, cv2 {epe_cv}"
+    assert epe_ours < 1.1 * epe_cv + 1e-3, f"ours {epe_ours} vs cv2 {epe_cv}"
 
 
 def test_flow_larger_translation_converges():
@@ -147,13 +149,69 @@ def test_flow_stabilize_end_to_end():
     np.testing.assert_array_equal(replay.frames, res.frames)
 
 
-def test_flow_perspective_mode_runs():
-    frames, M0 = _warped_pair(seed=11)
-    n = 2
+def _projective_pair(h=180, w=240, g=4e-5, hh=-2.5e-5, theta=0.004, tx=2.6,
+                     ty=-1.8, seed=12):
+    """Adjacent pair with genuine projective inter-frame motion (g,h != 0)."""
+    base = _scene(h + 80, w + 80, seed)
+    crop0 = np.eye(3)
+    crop0[0, 2], crop0[1, 2] = -40, -40
+    M = np.array(
+        [
+            [np.cos(theta), -np.sin(theta), tx],
+            [np.sin(theta), np.cos(theta), ty],
+            [g, hh, 1.0],
+        ]
+    )
+    frames = W.warp_clip(
+        np.stack([base, base])[..., None],
+        np.stack([crop0, crop0 @ np.linalg.inv(M)]),
+        (w, h),
+        "bilinear",
+        (0.5,),
+    )[..., 0]
+    M0 = crop0 @ np.linalg.inv(M) @ np.linalg.inv(crop0)
+    return np.asarray(frames) * 255.0, M0
+
+
+def test_flow_projective_epe_vs_cv2():
+    """Genuine projective inter-frame motion: parity with the cv2 oracle."""
+    frames, M0 = _projective_pair()
+    h, w = frames.shape[1:]
+    flow = np.asarray(FD.dis_flow(frames, model="homography")[0])
+    truth = _true_flow(M0, h, w)
+    interior = np.s_[16:-16, 16:-16]
+    epe_ours = np.linalg.norm(flow[0][interior] - truth[interior], axis=-1).mean()
+
+    dis = cv2.DISOpticalFlow.create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
+    dis.setFinestScale(2)
+    dis.setPatchSize(8)
+    dis.setPatchStride(4)
+    dis.setUseSpatialPropagation(True)
+    cvflow = dis.calc(frames[0].astype(np.uint8), frames[1].astype(np.uint8), None)
+    epe_cv = np.linalg.norm(cvflow[interior] - truth[interior], axis=-1).mean()
+
+    assert epe_ours < 0.2, f"ours EPE {epe_ours}, cv2 {epe_cv}"
+    assert epe_ours < 1.1 * epe_cv + 1e-3, f"ours {epe_ours} vs cv2 {epe_cv}"
+
+
+def test_flow_perspective_mode_recovers_homography():
+    """Perspective fit must recover a known projective inter-frame motion."""
+    frames, M0 = _projective_pair(seed=11)
     fits = FL.flow_estimator(frames, "perspective")
     assert "perspective" in fits.matrices
-    # with a similarity ground truth, perspective fit should still be accepted
-    assert fits.accepted["perspective"][0] or fits.accepted["similarity"][0]
+    assert fits.accepted["perspective"][0], fits.confidences
+    H = fits.matrices["perspective"][0]
+    H = H / H[2, 2]
+    # corner reprojection error against the ground-truth homography
+    h, w = frames.shape[1:]
+    corners = np.array([[0, 0, 1], [w - 1, 0, 1], [0, h - 1, 1], [w - 1, h - 1, 1]], float).T
+    p_est = H @ corners
+    p_true = M0 @ corners
+    p_est = p_est[:2] / p_est[2]
+    p_true = p_true[:2] / p_true[2]
+    err = np.linalg.norm(p_est - p_true, axis=0)
+    assert err.max() < 1.0, f"corner reprojection error {err}"
+    assert fits.residuals["perspective"][0] < 0.8
 
 
 def test_area_resize_box_pool_fast_path_matches_dense_and_cv2():
