@@ -209,6 +209,11 @@ def normalize_video_input(value: Any) -> VideoContext:
 
 def reconstruct_video(frames: Any, context: VideoContext) -> Any:
     """Pack frames into a contiguous float32 BHWC tensor payload."""
+    if not isinstance(frames, np.ndarray) and getattr(frames, "ndim", None) == 4:
+        # Device (jax) array: ONE bulk device->host transfer for the whole
+        # clip, never a per-frame fetch loop (reference stacks whole-clip
+        # buffers the same way, stabilizer_utils.py:200-221).
+        frames = np.asarray(frames)
     if isinstance(frames, np.ndarray) and frames.ndim == 4:
         stacked = (
             frames
@@ -235,6 +240,8 @@ def reconstruct_video(frames: Any, context: VideoContext) -> Any:
 
 def convert_masks_for_output(masks: Any) -> Any:
     """Internal masks -> (N, H, W) float32 tensor payload."""
+    if not isinstance(masks, np.ndarray) and getattr(masks, "ndim", None) in (3, 4):
+        masks = np.asarray(masks)  # one bulk device->host transfer
     if isinstance(masks, np.ndarray) and masks.ndim in (3, 4):
         if not masks.shape[0]:
             stacked = np.zeros((1, 1, 1), dtype=np.float32)

@@ -248,3 +248,39 @@ def test_inverse_roundtrip_accuracy():
     assert np.percentile(err_valid, 99) <= 0.3
     assert err_valid.mean() <= 0.035
     assert "inverse_stabilization" in restored.meta
+
+
+def test_legacy_inverse_engine_matches_inverse_node_path():
+    """The exported legacy engine (models/inverse.py, parity with
+    /root/reference/nodes/stabilizer_utils.py:929-1007) and the Inverse
+    node's Motion-Apply route must agree pixel-exactly
+    (/root/reference/docs/requirements/003:51)."""
+    frames = _frames(n=5, h=96, w=128, seed=7)
+    n, h, w = frames.shape[:3]
+    meta = _shake_meta(n, w, h, seed=4)
+    applied = MA.apply_motion(_ctx(frames), meta, GRAY, framing_mode="expand")
+    ow, oh = applied.meta["motion_apply"]["output_size"]
+    mats = MA.expand_matrices(
+        np.asarray([e["matrix"] for e in meta["motion_meta"]["per_frame"]], float), (w, h)
+    )[0]
+    warp_block = MM.build_stabilization_warp_meta(
+        source_size=(w, h), output_size=(ow, oh), framing_mode="expand", applied_matrices=mats
+    )
+    legacy_meta = {"stabilization_warp": warp_block}
+
+    direct = INV.apply_inverse_stabilization(_ctx(applied.frames), legacy_meta, GRAY)
+
+    from comfyui_video_stabilizer_tpu.meta.motion_meta import resolve_motion_meta
+
+    motion = resolve_motion_meta(legacy_meta)
+    assert motion.source == "legacy_stabilization"
+    via_apply = MA.apply_motion(
+        _ctx(applied.frames), legacy_meta, GRAY,
+        framing_mode="crop_and_pad", interpolation="bilinear",
+    )
+    np.testing.assert_allclose(
+        np.asarray(direct.frames), np.asarray(via_apply.frames), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(direct.masks), np.asarray(via_apply.masks), atol=2e-5
+    )

@@ -120,3 +120,41 @@ def test_resolve_fps_priority():
 )
 def test_padding_color(value, expected):
     assert parse_padding_color(value) == expected
+
+
+class _CountingDeviceArray:
+    """Minimal device-array stand-in: counts host materializations."""
+
+    def __init__(self, data):
+        self._data = np.asarray(data, np.float32)
+        self.ndim = self._data.ndim
+        self.shape = self._data.shape
+        self.fetches = 0
+
+    def __array__(self, dtype=None, copy=None):
+        self.fetches += 1
+        return self._data if dtype is None else self._data.astype(dtype)
+
+    def __iter__(self):  # the per-frame path we must NOT take
+        raise AssertionError("per-frame iteration on a device array")
+
+
+def test_reconstruct_video_bulk_device_download():
+    """VERDICT #6: device arrays leave the chip in ONE bulk transfer at
+    the node boundary, never via per-frame list() iteration."""
+    from comfyui_video_stabilizer_tpu.utils.video_io import (
+        convert_masks_for_output,
+        normalize_video_input,
+        reconstruct_video,
+    )
+
+    frames = _CountingDeviceArray(np.zeros((4, 8, 8, 3)))
+    ctx = normalize_video_input(np.zeros((4, 8, 8, 3), np.float32))
+    out = reconstruct_video(frames, ctx)
+    assert frames.fetches == 1
+    assert tuple(out.shape) == (4, 8, 8, 3)
+
+    masks = _CountingDeviceArray(np.zeros((4, 8, 8)))
+    m = convert_masks_for_output(masks)
+    assert masks.fetches == 1
+    assert tuple(m.shape) == (4, 8, 8)
