@@ -89,16 +89,18 @@ def main() -> None:
         template_meta={},
     )
 
+    import jax as _jax
+
     def run():
         res = stabilize_flow(
             ctx, "crop_and_pad", "similarity", False, 0.8, 0.6, 0.6, (127, 127, 127), 30.0
         )
         # full sync: frames AND masks must be materialized before the
-        # clock stops (a single-scalar touch would let the mask pass
-        # escape the measurement)
-        for out in (res.frames, res.masks):
-            if hasattr(out, "block_until_ready"):
-                out.block_until_ready()
+        # clock stops.  Element fetches are used because through the
+        # development tunnel block_until_ready returns early; one fused
+        # device_get costs a single round trip.
+        _jax.device_get((res.frames[0, 0, 0, 0], res.masks[0, 0, 0],
+                         res.frames[-1, -1, -1, -1], res.masks[-1, -1, -1]))
         return res
 
     print("warmup (compile)...", file=sys.stderr)

@@ -89,6 +89,21 @@ def _box_pool_kernel(stack: jnp.ndarray, fy: int, fx: int) -> jnp.ndarray:
     return r.mean(axis=(2, 4))
 
 
+@functools.partial(jax.jit, static_argnames=("fy", "fx", "quantize"))
+def _gray_pool_kernel(frames: jnp.ndarray, fy: int, fx: int, quantize: bool) -> jnp.ndarray:
+    """Fused grayscale + integer-factor INTER_AREA: one HBM pass.
+
+    Avoids materializing the full-resolution gray intermediate (0.8 GB
+    for a 96-frame 1080p clip) between two separate dispatches.
+    """
+    gray = jnp.einsum("nhwc,c->nhw", frames, jnp.asarray(_LUMA))
+    if quantize:
+        gray = jnp.floor(jnp.clip(gray * 255.0, 0.0, 255.0))
+    n, h, w = gray.shape
+    r = gray.reshape(n, h // fy, fy, w // fx, fx)
+    return r.mean(axis=(2, 4))
+
+
 def area_resize(stack, out_size: Tuple[int, int]) -> jnp.ndarray:
     """INTER_AREA downscale of an (N, H, W) stack to (w, h), on device.
 
@@ -123,6 +138,13 @@ def gray_for_estimation(
     per_frame = frames.shape[1] * frames.shape[2] * 3 * 4 * 2
     chunk = max(1, min(n, CHUNK_BUDGET_BYTES // max(per_frame, 1)))
     if chunk >= n or not isinstance(frames, np.ndarray):
+        if working_size is not None and not isinstance(frames, np.ndarray):
+            out_w, out_h = int(working_size[0]), int(working_size[1])
+            fr = jnp.asarray(frames, jnp.float32)
+            if fr.ndim == 4 and fr.shape[-1] == 3:
+                h, w = fr.shape[1], fr.shape[2]
+                if (h, w) != (out_h, out_w) and h % out_h == 0 and w % out_w == 0:
+                    return _gray_pool_kernel(fr, h // out_h, w // out_w, quantize)
         gray = make_gray(frames, quantize=quantize)
         return gray if working_size is None else area_resize(gray, working_size)
     pieces = []
