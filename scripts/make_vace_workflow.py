@@ -1,0 +1,185 @@
+#!/usr/bin/env python3
+"""Generate the Wan2.1-VACE outpainting example workflow.
+
+Mirrors the full node graph of the reference example
+(/root/reference/example_workflows/Wan2.1_VACE_outpainting_VideoStabilizer.json):
+load video -> scale -> video_stabilizer_flow (crop_and_pad) -> resize
+frames+padding mask -> GrowMask -> WanVaceToVideo outpaint -> KSampler ->
+VAEDecode -> VideoCombine, with the stabilizer's padding_mask steering the
+VACE control masks.  Written as a generator so link bookkeeping stays
+consistent; the JSON artifact is committed alongside.
+"""
+
+import json
+import os
+
+NODES = []
+LINKS = []  # [id, from_node, from_slot, to_node, to_slot, type]
+
+
+def node(nid, ntype, pos, size, inputs, outputs, widgets=None, order=0, title=None):
+    n = {
+        "id": nid,
+        "type": ntype,
+        "pos": list(pos),
+        "size": list(size),
+        "flags": {},
+        "order": order,
+        "mode": 0,
+        "inputs": [
+            {"name": name, "type": t, "link": None} for name, t in inputs
+        ],
+        "outputs": [
+            {"name": name, "type": t, "links": []} for name, t in outputs
+        ],
+        "properties": {},
+    }
+    if widgets is not None:
+        n["widgets_values"] = widgets
+    if title:
+        n["title"] = title
+    NODES.append(n)
+    return n
+
+
+_BY_ID = {}
+
+
+def link(src, src_slot, dst, dst_slot, ltype):
+    lid = len(LINKS) + 1
+    LINKS.append([lid, src["id"], src_slot, dst["id"], dst_slot, ltype])
+    src["outputs"][src_slot]["links"].append(lid)
+    dst["inputs"][dst_slot]["link"] = lid
+    return lid
+
+
+def main():
+    load = node(1, "VHS_LoadVideo", (-700, 0), (240, 300),
+                [("meta_batch", "VHS_BatchManager"), ("vae", "VAE")],
+                [("IMAGE", "IMAGE"), ("frame_count", "INT"), ("audio", "AUDIO"),
+                 ("video_info", "VHS_VIDEOINFO")],
+                {"video": "input_shaky.mp4", "force_rate": 16, "custom_width": 0,
+                 "custom_height": 0, "frame_load_cap": 81, "skip_first_frames": 0,
+                 "select_every_nth": 1})
+    scale = node(2, "ImageScaleToTotalPixels", (-420, 0), (240, 80),
+                 [("image", "IMAGE")], [("IMAGE", "IMAGE")],
+                 ["lanczos", 0.4])
+    stab = node(3, "video_stabilizer_flow", (-150, 0), (320, 220),
+                [("frames", "IMAGE")],
+                [("frames_stabilized", "IMAGE"), ("padding_mask", "MASK"),
+                 ("meta", "JSON")],
+                ["crop_and_pad", "similarity", False, 0.7, 0.5, 0.6, "#7F7F7F"])
+    resize = node(4, "ImageResizeKJv2", (210, 0), (260, 240),
+                  [("image", "IMAGE"), ("mask", "MASK")],
+                  [("IMAGE", "IMAGE"), ("width", "INT"), ("height", "INT"),
+                   ("mask", "MASK")],
+                  [0, 0, "nearest-exact", "crop", "0, 0, 0", "center", 16, "cpu"])
+    preview = node(5, "PreviewImage", (210, 300), (210, 250), [("images", "IMAGE")], [])
+    grow = node(6, "GrowMask", (520, 220), (210, 100),
+                [("mask", "MASK")], [("MASK", "MASK")], [5, True])
+    clip_loader = node(7, "CLIPLoader", (-150, 420), (320, 90),
+                       [], [("CLIP", "CLIP")],
+                       ["umt5_xxl_fp8_e4m3fn_scaled.safetensors", "wan", "default"])
+    pos = node(8, "CLIPTextEncode", (210, 420), (300, 120),
+               [("clip", "CLIP")], [("CONDITIONING", "CONDITIONING")],
+               ["steady cinematic footage, consistent background"],
+               title="CLIP Text Encode (Positive)")
+    neg = node(9, "CLIPTextEncode", (210, 580), (300, 120),
+               [("clip", "CLIP")], [("CONDITIONING", "CONDITIONING")],
+               ["overexposure, static, blurred details, worst quality"],
+               title="CLIP Text Encode (Negative)")
+    vae_loader = node(10, "VAELoader", (-150, 720), (300, 60),
+                      [], [("VAE", "VAE")], ["wan_2.1_vae.safetensors"])
+    vace = node(11, "WanVaceToVideo", (560, 420), (270, 260),
+                [("positive", "CONDITIONING"), ("negative", "CONDITIONING"),
+                 ("vae", "VAE"), ("control_video", "IMAGE"),
+                 ("control_masks", "MASK"), ("reference_image", "IMAGE"),
+                 ("width", "INT"), ("height", "INT")],
+                [("positive", "CONDITIONING"), ("negative", "CONDITIONING"),
+                 ("trim_latent", "INT"), ("latent", "LATENT")],
+                [480, 832, 81, 1, 1])
+    unet = node(12, "UNETLoader", (-150, 850), (320, 90),
+                [], [("MODEL", "MODEL")],
+                ["wan2.1_vace_14B_fp16.safetensors", "default"])
+    msd3 = node(13, "ModelSamplingSD3", (210, 850), (240, 70),
+                [("model", "MODEL")], [("MODEL", "MODEL")], [8])
+    tam = node(14, "UNetTemporalAttentionMultiply", (480, 850), (260, 130),
+               [("model", "MODEL")], [("MODEL", "MODEL")], [1, 1, 1.1, 1])
+    cfg0 = node(15, "CFGZeroStar", (770, 850), (210, 60),
+                [("model", "MODEL")], [("MODEL", "MODEL")])
+    ks = node(16, "KSampler", (870, 420), (270, 280),
+              [("model", "MODEL"), ("positive", "CONDITIONING"),
+               ("negative", "CONDITIONING"), ("latent_image", "LATENT")],
+              [("LATENT", "LATENT")],
+              [3, "fixed", 4, 1, "uni_pc", "simple", 1])
+    decode = node(17, "VAEDecode", (1170, 420), (190, 70),
+                  [("samples", "LATENT"), ("vae", "VAE")], [("IMAGE", "IMAGE")])
+    combine = node(18, "VHS_VideoCombine", (1390, 420), (300, 320),
+                   [("images", "IMAGE"), ("audio", "AUDIO"),
+                    ("meta_batch", "VHS_BatchManager"), ("vae", "VAE")],
+                   [("Filenames", "VHS_FILENAMES")],
+                   {"frame_rate": 16, "loop_count": 0,
+                    "filename_prefix": "stabilized_outpaint", "format": "video/h264-mp4",
+                    "pix_fmt": "yuv420p", "crf": 19, "save_metadata": True,
+                    "trim_to_audio": False, "pingpong": False, "save_output": True})
+    note = node(19, "MarkdownNote", (-700, 420), (480, 330), [], [],
+                ["## Stabilize + VACE outpainting\n\n"
+                 "`video_stabilizer_flow` in **crop_and_pad** framing keeps the\n"
+                 "full field of view and emits a `padding_mask` marking the\n"
+                 "empty border it introduced.  The mask (grown by 5 px) drives\n"
+                 "Wan2.1-VACE outpainting so the model fills exactly the\n"
+                 "stabilization padding.  Attach `meta.motion_meta` to\n"
+                 "`video_stabilizer_motion_apply` afterwards to re-impose or\n"
+                 "invert the motion on the outpainted frames."],
+                title="About this workflow")
+
+    link(load, 0, scale, 0, "IMAGE")
+    link(scale, 0, stab, 0, "IMAGE")
+    link(stab, 0, resize, 0, "IMAGE")
+    link(stab, 1, resize, 1, "MASK")
+    link(resize, 0, preview, 0, "IMAGE")
+    link(resize, 0, vace, 3, "IMAGE")
+    link(resize, 3, grow, 0, "MASK")
+    link(grow, 0, vace, 4, "MASK")
+    link(resize, 1, vace, 6, "INT")
+    link(resize, 2, vace, 7, "INT")
+    link(clip_loader, 0, pos, 0, "CLIP")
+    link(clip_loader, 0, neg, 0, "CLIP")
+    link(pos, 0, vace, 0, "CONDITIONING")
+    link(neg, 0, vace, 1, "CONDITIONING")
+    link(vae_loader, 0, vace, 2, "VAE")
+    link(unet, 0, msd3, 0, "MODEL")
+    link(msd3, 0, tam, 0, "MODEL")
+    link(tam, 0, cfg0, 0, "MODEL")
+    link(cfg0, 0, ks, 0, "MODEL")
+    link(vace, 0, ks, 1, "CONDITIONING")
+    link(vace, 1, ks, 2, "CONDITIONING")
+    link(vace, 3, ks, 3, "LATENT")
+    link(ks, 0, decode, 0, "LATENT")
+    link(vae_loader, 0, decode, 1, "VAE")
+    link(decode, 0, combine, 0, "IMAGE")
+
+    for order, n in enumerate(NODES):
+        n["order"] = order
+
+    doc = {
+        "id": "cvst-tpu-wan21-vace-outpaint",
+        "revision": 0,
+        "last_node_id": max(n["id"] for n in NODES),
+        "last_link_id": len(LINKS),
+        "nodes": NODES,
+        "links": LINKS,
+        "groups": [],
+        "config": {},
+        "extra": {},
+        "version": 0.4,
+    }
+    out = os.path.join(os.path.dirname(__file__), os.pardir, "example_workflows",
+                       "Wan2.1_VACE_outpainting_VideoStabilizer.json")
+    with open(os.path.abspath(out), "w") as f:
+        json.dump(doc, f, indent=2)
+    print("wrote", os.path.abspath(out))
+
+
+if __name__ == "__main__":
+    main()
