@@ -46,14 +46,21 @@ def _grid_points(h: int, w: int, step: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("want_persp", "n_hyp", "step"))
 def _fused_fits(flow, pts, seed, want_persp, n_hyp, step):
-    """Sampling + every robust fit + diagnostics as ONE device program.
+    """Grid sampling of a dense flow + :func:`_fused_fits_sampled`."""
+    b = flow.shape[0]
+    samples = flow[:, ::step, ::step, :].reshape(b, -1, 2)
+    return _fused_fits_sampled(samples, pts, seed, want_persp, n_hyp)
+
+
+@functools.partial(jax.jit, static_argnames=("want_persp", "n_hyp"))
+def _fused_fits_sampled(samples, pts, seed, want_persp, n_hyp):
+    """Every robust fit + diagnostics as ONE device program.
 
     Returns a flat tuple so the caller fetches everything in a single
     host round-trip (the development tunnel charges ~30 ms per sync;
     even on production hosts, one fetch beats seven).
     """
-    b = flow.shape[0]
-    samples = flow[:, ::step, ::step, :].reshape(b, -1, 2)
+    b = samples.shape[0]
     prev_pts = jnp.broadcast_to(pts[None], samples.shape)
     curr_pts = prev_pts + samples
     valid = jnp.isfinite(curr_pts).all(axis=2)
@@ -90,13 +97,15 @@ def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> 
     try:
         # perspective mode drives the coarse-to-fine pre-warp with an
         # IRLS homography fit so projective motion is tracked by the
-        # level warps, not just the +-radius residual window
-        flow, _conf = FD.dis_flow(
-            grays, model="homography" if want_persp else "similarity"
+        # level warps, not just the +-radius residual window.  The fit
+        # path samples the finest DIS level directly (no polish /
+        # full-res upsample — see ops/flow_dis._dis_flow_fit_fused).
+        samples = FD.dis_flow_fit(
+            grays, SAMPLE_STEP, model="homography" if want_persp else "similarity"
         )
         pts = _grid_points(h, w, SAMPLE_STEP)
         fused = jax.device_get(
-            _fused_fits(flow, pts, seed, want_persp, RS.DEFAULT_HYPOTHESES, SAMPLE_STEP)
+            _fused_fits_sampled(samples, pts, seed, want_persp, RS.DEFAULT_HYPOTHESES)
         )
     except Exception as exc:  # degraded backend, mirrors reference chain
         extra = {

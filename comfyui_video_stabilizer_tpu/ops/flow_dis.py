@@ -501,13 +501,48 @@ def _warp_similarity_device(img: jnp.ndarray, M: jnp.ndarray, pad_t: int, radius
     return out
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("coarsest", "finest", "radius", "patch", "refine_rounds", "model"),
-)
-def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds,
-                    model="similarity"):
-    """The whole coarse-to-fine solve as ONE traced program (no host syncs)."""
+def _scale_up_matrix(M):
+    S = jnp.diag(jnp.asarray([2.0, 2.0, 1.0], jnp.float32))
+    Si = jnp.diag(jnp.asarray([0.5, 0.5, 1.0], jnp.float32))
+    return S[None] @ M @ Si[None]
+
+
+def _guarded_fit(flow_level, conf, M_prev, model):
+    """Fit, but keep the previous estimate when the fit is insane.
+
+    A level with too little texture/overlap can produce a wild
+    model (collapsing scale, huge translation); propagating it
+    poisons every finer level, so reject per pair.  The perspective
+    model additionally bounds the projective terms: |g|,|h| beyond
+    ~1/level-size bends the pre-warp more than any camera motion
+    between adjacent frames can.
+    """
+    hl, wl = flow_level.shape[1], flow_level.shape[2]
+    if model == "homography":
+        Mn = _fit_homography_dense(flow_level, conf, 4)
+        proj_ok = (
+            (jnp.abs(Mn[:, 2, 0]) < 2.0 / wl) & (jnp.abs(Mn[:, 2, 1]) < 2.0 / hl)
+        )
+    else:
+        Mn = _fit_similarity_dense(flow_level, conf, 4)
+        proj_ok = jnp.ones((Mn.shape[0],), bool)
+    sc2 = Mn[:, 0, 0] ** 2 + Mn[:, 1, 0] ** 2
+    ok = (
+        jnp.isfinite(Mn).all(axis=(1, 2))
+        & (sc2 > 0.25) & (sc2 < 4.0)
+        & (jnp.abs(Mn[:, 0, 2]) < wl) & (jnp.abs(Mn[:, 1, 2]) < hl)
+        & proj_ok
+    )
+    return jnp.where(ok[:, None, None], Mn, M_prev)
+
+
+def _dis_levels(grays, coarsest, finest, radius, patch, refine_rounds,
+                model="similarity"):
+    """Coarse-to-fine solve down to ``finest`` (traced body, no polish).
+
+    Returns (flow_level, conf_level, M, pyr_I, pyr_J) with flow at level
+    ``finest`` resolution in level-pixel units.
+    """
     I_full = grays[:-1]
     J_full = grays[1:]
     b = I_full.shape[0]
@@ -516,11 +551,7 @@ def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds,
 
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
     M = eye
-
-    def scale_up(M):
-        S = jnp.diag(jnp.asarray([2.0, 2.0, 1.0], jnp.float32))
-        Si = jnp.diag(jnp.asarray([0.5, 0.5, 1.0], jnp.float32))
-        return S[None] @ M @ Si[None]
+    scale_up = _scale_up_matrix
 
     def refine_at(lvl, M, lk_only=False, level_radius=None):
         Il = pyr_I[lvl]
@@ -533,32 +564,7 @@ def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds,
         return flow_level, conf
 
     def fit(flow_level, conf, M_prev):
-        """Fit, but keep the previous estimate when the fit is insane.
-
-        A level with too little texture/overlap can produce a wild
-        model (collapsing scale, huge translation); propagating it
-        poisons every finer level, so reject per pair.  The perspective
-        model additionally bounds the projective terms: |g|,|h| beyond
-        ~1/level-size bends the pre-warp more than any camera motion
-        between adjacent frames can.
-        """
-        hl, wl = flow_level.shape[1], flow_level.shape[2]
-        if model == "homography":
-            Mn = _fit_homography_dense(flow_level, conf, 4)
-            proj_ok = (
-                (jnp.abs(Mn[:, 2, 0]) < 2.0 / wl) & (jnp.abs(Mn[:, 2, 1]) < 2.0 / hl)
-            )
-        else:
-            Mn = _fit_similarity_dense(flow_level, conf, 4)
-            proj_ok = jnp.ones((Mn.shape[0],), bool)
-        sc2 = Mn[:, 0, 0] ** 2 + Mn[:, 1, 0] ** 2
-        ok = (
-            jnp.isfinite(Mn).all(axis=(1, 2))
-            & (sc2 > 0.25) & (sc2 < 4.0)
-            & (jnp.abs(Mn[:, 0, 2]) < wl) & (jnp.abs(Mn[:, 1, 2]) < hl)
-            & proj_ok
-        )
-        return jnp.where(ok[:, None, None], Mn, M_prev)
+        return _guarded_fit(flow_level, conf, M_prev, model)
 
     flow_level = None
     conf_level = None
@@ -587,6 +593,23 @@ def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds,
             finest, M, lk_only=lk_only, level_radius=level_radius
         )
 
+    return flow_level, conf_level, M, pyr_I, pyr_J
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("coarsest", "finest", "radius", "patch", "refine_rounds", "model"),
+)
+def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds,
+                    model="similarity"):
+    """The whole coarse-to-fine solve as ONE traced program (no host syncs)."""
+    flow_level, conf_level, M, pyr_I, pyr_J = _dis_levels(
+        grays, coarsest, finest, radius, patch, refine_rounds, model
+    )
+
+    def fit(flow_level, conf, M_prev):
+        return _guarded_fit(flow_level, conf, M_prev, model)
+
     # Half-res Gauss-Newton polish: the finest DIS level (quarter res,
     # DIS-MEDIUM parity) leaves ~0.1 px of upsampled residual noise;
     # cv2 recovers it with full-res variational refinement.  The TPU
@@ -598,7 +621,7 @@ def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds,
     polish = finest - 1
     if polish >= 0:
         M = fit(flow_level, conf_level, M)
-        M = scale_up(M)
+        M = _scale_up_matrix(M)
         Il = pyr_I[polish]
         Jl = pyr_J[polish]
         agg = _make_agg(patch)
@@ -619,6 +642,43 @@ def _dis_flow_fused(grays, coarsest, finest, radius, patch, refine_rounds,
         nw = pyr_I[lvl - 1].shape[2]
         flow = _upsample2_flow(flow, nh, nw)
     return flow, conf_level
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("coarsest", "finest", "radius", "patch", "refine_rounds",
+                     "model", "step"),
+)
+def _dis_flow_fit_fused(grays, coarsest, finest, radius, patch, refine_rounds,
+                        model, step):
+    """Fit-grid fast path: the level solve WITHOUT the half-res polish
+    or the full-res upsample chain.
+
+    The pipeline's consumer (models/flow.py) only reads the flow on an
+    ``step``-px grid to fit global models; the polish level runs at 4x
+    the pixels of the finest DIS level purely for dense-EPE fidelity,
+    and the upsample chain materializes a full-res field nobody reads.
+    Sampling the finest-level flow directly is ~2x cheaper device-side
+    and statistically equivalent for the fit: per-sample noise (~0.12px)
+    averages out over the ~8k grid points.
+
+    Returns (samples (B, P, 2) in WORKING-res px units, valid (B, P)).
+    The grid rows/cols are ``arange(0, h, step)`` at working res, i.e.
+    exactly models/flow._grid_points(h, w, step).
+    """
+    flow_level, conf_level, M, pyr_I, _ = _dis_levels(
+        grays, coarsest, finest, radius, patch, refine_rounds, model
+    )
+    scale = float(1 << finest)
+    lh, lw = flow_level.shape[1], flow_level.shape[2]
+    h, w = grays.shape[1], grays.shape[2]
+    # level-grid indices corresponding to the working-res grid; clamped
+    # at the edge when floor-halving dropped a trailing row/col
+    ys = np.minimum(np.arange(0, h, step) // (1 << finest), lh - 1)
+    xs = np.minimum(np.arange(0, w, step) // (1 << finest), lw - 1)
+    sub = flow_level[:, ys[:, None], xs[None, :], :] * scale
+    b = sub.shape[0]
+    return sub.reshape(b, -1, 2)
 
 
 def dis_flow(
@@ -647,6 +707,30 @@ def dis_flow(
     coarsest = num_levels(h, w)
     finest = min(finest_scale, coarsest)
     return _dis_flow_fused(grays, coarsest, finest, radius, patch, 3, model)
+
+
+def dis_flow_fit(
+    grays,
+    step: int,
+    finest_scale: int = FINEST_SCALE,
+    radius: int = RADIUS,
+    patch: int = PATCH,
+    model: str = "similarity",
+) -> jnp.ndarray:
+    """Flow sampled on the ``step``-px working-res fit grid (device).
+
+    Pipeline fast path: same level solve as :func:`dis_flow` but skips
+    the half-res polish and the full-res upsample (see
+    ``_dis_flow_fit_fused``).  Returns (N-1, P, 2) working-res px flow
+    at the grid of models/flow._grid_points(h, w, step).
+    """
+    n, h, w = grays.shape
+    if n < 2:
+        return jnp.zeros((0, 0, 2), jnp.float32)
+    grays = jnp.asarray(grays, jnp.float32)
+    coarsest = num_levels(h, w)
+    finest = min(finest_scale, coarsest)
+    return _dis_flow_fit_fused(grays, coarsest, finest, radius, patch, 3, model, step)
 
 
 def _scale_matrix_batch(M: np.ndarray, factor: float) -> np.ndarray:

@@ -1,5 +1,9 @@
 #!/usr/bin/env python3
-"""Layout micro-benchmarks: NHWC vs planar cost of full-res passes."""
+"""Layout micro-benchmarks: NHWC vs planar cost of full-res passes.
+
+Synthesizes the clip ON DEVICE (host->device of 0.8 GB through the dev
+tunnel takes minutes; bench.py does the same).
+"""
 
 import sys
 import time
@@ -25,7 +29,7 @@ def timeit(label, fn, reps=5):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
-    print(f"{label:44s} med {np.median(ts)*1e3:8.2f} ms")
+    print(f"{label:44s} med {np.median(ts)*1e3:8.2f} ms", flush=True)
     return float(np.median(ts))
 
 
@@ -35,15 +39,12 @@ def sync(a):
 
 def main():
     n, h, w = 96, 1080, 1920
-    rng = np.random.default_rng(0)
-    host = rng.random((n, h, w, 3), np.float32)
-    nhwc = jnp.asarray(host)
-    nhwc.block_until_ready()
-    print("uploaded", flush=True)
+    key = jax.random.PRNGKey(0)
+    nhwc = jax.random.uniform(key, (n, h, w, 3), jnp.float32)
+    sync(nhwc)
+    print("clip ready", flush=True)
     planar = jax.jit(lambda x: jnp.transpose(x, (0, 3, 1, 2)))(nhwc)
-    planar.block_until_ready()
-    cfirst = jax.jit(lambda x: jnp.transpose(x, (3, 0, 1, 2)))(nhwc)
-    cfirst.block_until_ready()
+    sync(planar)
 
     @jax.jit
     def gray_pool_nhwc(x):
@@ -58,24 +59,8 @@ def main():
         return g.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
 
     @jax.jit
-    def gray_pool_planar_slice(x):  # (N,3,H,W), strided-slice pooling
-        g = jnp.einsum("nchw,c->nhw", x, jnp.asarray(LUMA))
-        g = jnp.floor(jnp.clip(g * 255.0, 0.0, 255.0))
-        return (g[:, ::2, ::2] + g[:, 1::2, ::2] + g[:, ::2, 1::2] + g[:, 1::2, 1::2]) * 0.25
-
-    @jax.jit
-    def gray_pool_cfirst(x):  # (3,N,H,W)
-        g = jnp.einsum("cnhw,c->nhw", x, jnp.asarray(LUMA))
-        g = jnp.floor(jnp.clip(g * 255.0, 0.0, 255.0))
-        return g.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
-
-    @jax.jit
     def to_planar(x):
         return jnp.transpose(x, (0, 3, 1, 2))
-
-    @jax.jit
-    def to_cfirst(x):
-        return jnp.transpose(x, (3, 0, 1, 2))
 
     @jax.jit
     def from_planar(x):
@@ -93,14 +78,8 @@ def main():
     timeit("copy planar", lambda: sync(copy_planar(planar)))
     timeit("gray+pool NHWC", lambda: sync(gray_pool_nhwc(nhwc)))
     timeit("gray+pool planar (N,3,H,W)", lambda: sync(gray_pool_planar(planar)))
-    timeit("gray+pool planar slice-pool", lambda: sync(gray_pool_planar_slice(planar)))
-    timeit("gray+pool cfirst (3,N,H,W)", lambda: sync(gray_pool_cfirst(cfirst)))
     timeit("transpose NHWC->planar", lambda: sync(to_planar(nhwc)))
-    timeit("transpose NHWC->cfirst", lambda: sync(to_cfirst(nhwc)))
     timeit("transpose planar->NHWC", lambda: sync(from_planar(planar)))
-
-    # host->device transfer comparison
-    timeit("device_put NHWC host->dev 0.8GB", lambda: jax.device_put(host).block_until_ready())
 
 
 if __name__ == "__main__":
