@@ -240,6 +240,23 @@ def _coverage_xla(coeffs, out_h, out_w, in_h, in_w):
     return valid.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "in_h", "in_w"))
+def _coverage_mean_xla(coeffs_s, out_h, out_w, in_h, in_w):
+    """Mean nearest-coverage over shutter samples, one device program.
+
+    coeffs_s: (S, N, 8).  Scans over S so the (N, S, H, W) stack is
+    never materialized; returns (N, out_h, out_w) mean coverage.
+    """
+    n = coeffs_s.shape[1]
+
+    def body(acc, coeffs_one):
+        return acc + _coverage_xla(coeffs_one, out_h, out_w, in_h, in_w), None
+
+    acc0 = jnp.zeros((n, out_h, out_w), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, coeffs_s)
+    return acc * (1.0 / coeffs_s.shape[0])
+
+
 # ---------------------------------------------------------------------------
 # Public API (device-resident pixels; host-resident matrices)
 # ---------------------------------------------------------------------------
@@ -426,17 +443,35 @@ def warp_clip_blur(
         return out_np, mask_np
 
     frames = _device_frames(frames)
+    border_arr = np.asarray(border, np.float32)
+    if border_arr.ndim == 0:
+        border_arr = np.full((frames.shape[-1],), float(border_arr), np.float32)
+    in_w, in_h = int(frames.shape[2]), int(frames.shape[1])
+
+    # one (N*S)-coefficient host pass: feeds the fused Pallas plan and
+    # the single-program coverage mean
+    sample_coeffs = prepare_inverse_coeffs(
+        np.asarray(sample_matrices, np.float64).reshape(n * s, 3, 3)
+    ).reshape(n, s, 8)
+
     acc = None
-    cover_acc = None
-    for k in range(s):
-        mats = sample_matrices[:, k]
-        w = warp_clip(frames, mats, out_size, interp, border)
-        acc = w if acc is None else acc + w
-        if with_mask:
-            cov = coverage_mask(mats, (frames.shape[2], frames.shape[1]), out_size)
-            cover_acc = cov if cover_acc is None else cover_acc + cov
-    acc = acc / float(s)
+    if _use_pallas(interp):
+        from . import warp_pallas
+
+        acc = warp_pallas.warp_clip_blur_pallas(
+            frames, sample_coeffs, out_size, interp, border_arr
+        )
+    if acc is None:
+        # XLA fallback: per-sample warps accumulated on device
+        for k in range(s):
+            w = warp_clip(frames, sample_matrices[:, k], out_size, interp, border)
+            acc = w if acc is None else acc + w
+        acc = acc / float(s)
+
     if with_mask:
-        mask = zero_small(1.0 - cover_acc / float(s))
-        return acc, mask
+        coeffs_s = jnp.asarray(
+            np.transpose(sample_coeffs, (1, 0, 2)), jnp.float32
+        )
+        cover = _coverage_mean_xla(coeffs_s, out_h, out_w, in_h, in_w)
+        return acc, zero_small(1.0 - cover)
     return acc, None

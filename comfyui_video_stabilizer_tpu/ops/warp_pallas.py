@@ -399,6 +399,112 @@ def _warp_pallas_call(
     return jnp.transpose(out[:, :, :out_h, :out_w], (0, 2, 3, 1))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_h", "out_w", "th", "tw", "wh", "ww", "k",
+                     "n_th", "n_tw", "in_h", "in_w", "pad_y", "pad_x",
+                     "channels", "interp", "affine", "interpret"),
+)
+def _warp_blur_pallas_call(
+    frames_nhwc, coeffs32_s, border, *,
+    out_h, out_w, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w,
+    pad_y, pad_x, channels, interp, affine, interpret=False,
+):
+    """Shutter-blur fast path: ONE layout pass + a lax.scan over the S
+    shutter samples, each running the SAME compiled warp kernel and
+    accumulating the planar output on device.
+
+    Replaces S independent warp_clip dispatches (each paying its own
+    NHWC<->planar transposes, pad, and accumulation pass — VERDICT #10).
+    coeffs32_s: (S, N*8) float32.
+    """
+    planar_padded = jnp.pad(
+        jnp.transpose(frames_nhwc, (0, 3, 1, 2)),
+        ((0, 0), (0, 0), (pad_y, pad_y), (pad_x, pad_x)),
+    )
+    n = planar_padded.shape[0]
+    kernel = _make_kernel(
+        th=th, tw=tw, wh=wh, ww=ww, k=k, n_th=n_th, n_tw=n_tw,
+        in_h=in_h, in_w=in_w, pad_y=pad_y, pad_x=pad_x,
+        channels=channels, interp=interp, affine=affine,
+    )
+
+    call = functools.partial(
+        pl.pallas_call,
+        kernel,
+        grid=(n, n_th, n_tw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, channels, th, tw),
+            lambda i, j, kk: (i, 0, j, kk),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, channels, wh, ww), jnp.float32),
+            pltpu.VMEM((channels, wh, ww), jnp.float32),
+            pltpu.VMEM((channels + 1, th, tw), jnp.float32),
+            pltpu.SMEM((2, 4), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((n, channels, n_th * th, n_tw * tw), jnp.float32),
+        interpret=interpret,
+    )()
+
+    s = coeffs32_s.shape[0]
+
+    def body(acc, coeffs_one):
+        out = call(coeffs_one, border, planar_padded)
+        return acc + out, None
+
+    acc0 = jnp.zeros((n, channels, n_th * th, n_tw * tw), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, coeffs32_s)
+    acc = acc * (1.0 / s)
+    return jnp.transpose(acc[:, :, :out_h, :out_w], (0, 2, 3, 1))
+
+
+def warp_clip_blur_pallas(
+    frames,
+    sample_coeffs: np.ndarray,
+    out_size: Tuple[int, int],
+    interp: str,
+    border: Sequence[float],
+    interpret: bool = False,
+):
+    """Fused shutter-blur warp; None when the Pallas plan can't serve it.
+
+    sample_coeffs: (N, S, 8) float64 inverse-map coefficients.
+    Returns the (N, out_h, out_w, C) mean of the S sample warps.
+    """
+    if interp not in ("bilinear", "bicubic"):
+        return None
+    n, in_h, in_w, channels = frames.shape
+    out_w, out_h = int(out_size[0]), int(out_size[1])
+    if channels > 4 or min(in_h, in_w) < 32 or min(out_h, out_w) < 32:
+        return None
+    s = sample_coeffs.shape[1]
+    flat = np.asarray(sample_coeffs, np.float64).reshape(n * s, 8)
+    plan = _plan(flat, out_h, out_w, in_h, in_w, cubic=(interp == "bicubic"))
+    if plan is None:
+        return None
+    # (S, N*8): scan axis leads, kernel sees one sample's N coeff rows
+    coeffs_s = np.transpose(sample_coeffs, (1, 0, 2)).reshape(s, n * 8)
+    return _warp_blur_pallas_call(
+        jnp.asarray(frames, jnp.float32),
+        jnp.asarray(coeffs_s, jnp.float32),
+        jnp.asarray(border, jnp.float32),
+        out_h=out_h, out_w=out_w, th=plan["th"], tw=plan["tw"],
+        wh=plan["wh"], ww=plan["ww"], k=plan["k"],
+        n_th=plan["n_th"], n_tw=plan["n_tw"],
+        in_h=in_h, in_w=in_w,
+        pad_y=plan["pad_y"], pad_x=plan["pad_x"],
+        channels=channels, interp=interp, affine=plan["affine"],
+        interpret=interpret,
+    )
+
+
 def warp_clip_pallas(
     frames,
     matrices: np.ndarray,

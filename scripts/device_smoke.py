@@ -28,6 +28,9 @@ def log(msg):
 def main() -> int:
     full = "--full" in sys.argv
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     import importlib.util

@@ -94,3 +94,29 @@ def test_pallas_rejects_wild_warp():
     out = WP.warp_clip_pallas(frames, mats, coeffs, (w, h), "bilinear",
                               (0, 0, 0), interpret=True)
     assert out is None  # displacement span exceeds the largest K variant
+
+
+def test_pallas_blur_matches_xla_blur():
+    """Fused shutter-blur scan == per-sample XLA warps averaged."""
+    frames = _frames(n=2, h=96, w=160)
+    n, h, w = frames.shape[:3]
+    s = 5
+    base = _mats(n, seed=3, rot=0.008, t=5.0)
+    nxt = _mats(n, seed=4, rot=0.008, t=5.0)
+    ts = np.linspace(0.0, 0.5, s)
+    sample_mats = np.stack([base + (nxt - base) * t for t in ts], axis=1)  # (N,S,3,3)
+    coeffs = W.prepare_inverse_coeffs(sample_mats.reshape(n * s, 3, 3)).reshape(n, s, 8)
+    border = (0.25, 0.5, 0.75)
+
+    fused = WP.warp_clip_blur_pallas(frames, coeffs, (w, h), "bilinear", border,
+                                     interpret=True)
+    assert fused is not None
+
+    ref = None
+    for k in range(s):
+        wk = np.asarray(W._warp_xla(
+            frames, W.prepare_inverse_coeffs(sample_mats[:, k]).astype(np.float32),
+            np.asarray(border, np.float32), h, w, "bilinear"))
+        ref = wk if ref is None else ref + wk
+    ref = ref / s
+    np.testing.assert_allclose(np.asarray(fused), ref, atol=5e-6)
