@@ -488,16 +488,41 @@ def _warp_similarity_device(img: jnp.ndarray, M: jnp.ndarray, pad_t: int, radius
     ex = fdx.astype(jnp.int32) + radius  # in [1, 2*radius-1]
     ey = fdy.astype(jnp.int32) + radius
 
-    # (2r+1)^2 unrolled masked shift-FMAs; a stacked-candidate einsum
-    # variant measured slower end-to-end (materialized (B,k,k,H,W)
-    # stack + layout copies outweigh the saved op launches).
-    sp = jnp.pad(shifted, ((0, 0), (radius, radius + 1), (radius, radius + 1)), mode="edge")
-    out = jnp.zeros_like(img)
+    # Separable masked-shift sampling: a vertical pass (2r+1 masked
+    # shift-FMAs on the column-extended field) then a horizontal pass,
+    # ~(4r+2) shift-FMA chains instead of the (2r+1)^2 product loop.
+    # The vertical weights for source column x+k are evaluated at that
+    # column's own field value rather than the destination pixel's —
+    # exact for pure translation, and off by |d(fy)/dx| * radius
+    # (~rotation * r, sub-0.05 px here) for rotational fields; the
+    # 8x8-patch cost aggregation downstream absorbs it (EPE-gated in
+    # tests/test_flow.py).
+    kx_n = 2 * radius + 1
+    # evaluate the vertical tap fields on the column-extended grid
+    xxe = (jax.lax.broadcasted_iota(jnp.float32, (H, Wd + kx_n), 1)[None]
+           - jnp.float32(radius))
+    yye = jax.lax.broadcasted_iota(jnp.float32, (H, Wd + kx_n), 0)[None]
+    denom_e = 1.0 + g * xxe + h * yye
+    safe_e = jnp.abs(denom_e) > 1e-9
+    inv_de = jnp.where(safe_e, 1.0 / jnp.where(safe_e, denom_e, 1.0), 0.0)
+    qy_e = d * xxe + (e - 1.0) * yye + f - (g * yye) * xxe - (h * yye) * yye
+    dy_e = jnp.clip(qy_e * inv_de - tiy[:, None, None].astype(jnp.float32),
+                    -(radius - 1.0), radius - 1.0)
+    fdy_e = jnp.floor(dy_e)
+    fy_e = dy_e - fdy_e
+    ey_e = fdy_e.astype(jnp.int32) + radius
+
+    spc = jnp.pad(shifted, ((0, 0), (radius, radius + 1), (radius, radius + 1)),
+                  mode="edge")
+    tmp_v = jnp.zeros((B, H, Wd + kx_n), img.dtype)
     for ky in range(2 * radius + 1):
-        wy0 = jnp.where(ey == ky, 1.0 - fy, 0.0) + jnp.where(ey + 1 == ky, fy, 0.0)
-        for kx in range(2 * radius + 1):
-            wx0 = jnp.where(ex == kx, 1.0 - fx, 0.0) + jnp.where(ex + 1 == kx, fx, 0.0)
-            out = out + (wy0 * wx0) * sp[:, ky : ky + H, kx : kx + Wd]
+        wy0 = (jnp.where(ey_e == ky, 1.0 - fy_e, 0.0)
+               + jnp.where(ey_e + 1 == ky, fy_e, 0.0))
+        tmp_v = tmp_v + wy0 * spc[:, ky : ky + H, : Wd + kx_n]
+    out = jnp.zeros_like(img)
+    for kx in range(kx_n):
+        wx0 = jnp.where(ex == kx, 1.0 - fx, 0.0) + jnp.where(ex + 1 == kx, fx, 0.0)
+        out = out + wx0 * tmp_v[:, :, kx : kx + Wd]
     return out
 
 
