@@ -242,6 +242,25 @@ def _lk_refine(I, Jw, agg):
 # Global similarity fit (IRLS) of a dense flow field
 # ---------------------------------------------------------------------------
 
+def _approx_median(x: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
+    """Per-row approximate median of (B, P) via counting bisection.
+
+    TPU sort (what jnp.median lowers to) is a multi-kernel bitonic
+    chain; ``iters`` compare+count passes land within range/2^iters of
+    the true median, far more precision than the IRLS Cauchy scale
+    needs (it is clamped at 0.5 px anyway).
+    """
+    lo = jnp.zeros((x.shape[0], 1), x.dtype)
+    hi = jnp.max(x, axis=-1, keepdims=True)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        below = (x <= mid).mean(axis=-1, keepdims=True)
+        go_up = below < 0.5
+        lo = jnp.where(go_up, mid, lo)
+        hi = jnp.where(go_up, hi, mid)
+    return 0.5 * (lo + hi)
+
+
 @functools.partial(jax.jit, static_argnames=("stride",))
 def _fit_similarity_dense(flow: jnp.ndarray, conf: jnp.ndarray, stride: int):
     """Weighted IRLS similarity fit: flow (B,H,W,2) -> (B,3,3)."""
@@ -284,7 +303,7 @@ def _fit_similarity_dense(flow: jnp.ndarray, conf: jnp.ndarray, stride: int):
         proj_x = a[:, None] * p[None, :, 0] - b[:, None] * p[None, :, 1] + tx[:, None]
         proj_y = b[:, None] * p[None, :, 0] + a[:, None] * p[None, :, 1] + ty[:, None]
         res = jnp.sqrt((proj_x - q[..., 0]) ** 2 + (proj_y - q[..., 1]) ** 2)
-        med = jnp.median(res, axis=-1, keepdims=True)
+        med = _approx_median(res)
         scale = jnp.maximum(2.0 * med, 0.5)
         weight = w0 * (1.0 / (1.0 + (res / scale) ** 2))        # Cauchy
 
@@ -366,7 +385,7 @@ def _fit_homography_dense(flow: jnp.ndarray, conf: jnp.ndarray, stride: int):
         prx = (Hn[:, 0, 0][:, None] * px[None] + Hn[:, 0, 1][:, None] * py[None] + Hn[:, 0, 2][:, None]) / den
         pry = (Hn[:, 1, 0][:, None] * px[None] + Hn[:, 1, 1][:, None] * py[None] + Hn[:, 1, 2][:, None]) / den
         res = jnp.sqrt((prx - qn[..., 0]) ** 2 + (pry - qn[..., 1]) ** 2) * (1.0 / s)
-        med = jnp.median(res, axis=-1, keepdims=True)
+        med = _approx_median(res)
         scale = jnp.maximum(2.0 * med, 0.5)
         weight = w0 * (1.0 / (1.0 + (res / scale) ** 2))        # Cauchy
         Hn = solve(weight)
@@ -568,11 +587,13 @@ def _dis_levels(grays, coarsest, finest, radius, patch, refine_rounds,
     Returns (flow_level, conf_level, M, pyr_I, pyr_J) with flow at level
     ``finest`` resolution in level-pixel units.
     """
-    I_full = grays[:-1]
-    J_full = grays[1:]
-    b = I_full.shape[0]
-    pyr_I = build_pyramid(I_full, coarsest)
-    pyr_J = build_pyramid(J_full, coarsest)
+    b = grays.shape[0] - 1
+    # one pyramid of the whole clip; I/J are shifted views per level
+    # (_down2 is per-frame, so downsample-then-slice == slice-then-
+    # downsample exactly)
+    pyr = build_pyramid(grays, coarsest)
+    pyr_I = [lvl[:-1] for lvl in pyr]
+    pyr_J = [lvl[1:] for lvl in pyr]
 
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
     M = eye
