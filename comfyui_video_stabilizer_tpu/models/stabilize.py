@@ -408,13 +408,26 @@ def stabilize_clip(
 
     # ---- warp pass: one batched kernel + closed-form masks ----
     border = np.asarray(padding_rgb, np.float32) / 255.0
+    out_w_i, out_h_i = int(output_size[0]), int(output_size[1])
     with timer.stage("warp"):
-        stabilized, padding_masks = W.warp_clip_with_mask(
-            frames, final_matrices, output_size, "bilinear", border
-        )
+        if not W.will_stream(total_frames, height, width, out_h_i, out_w_i):
+            # masks + per-frame stats are queued BEFORE the frame warp
+            # (device streams run in dispatch order), so the stats
+            # round-trip below overlaps the warp instead of following it
+            cover = W.coverage_mask(final_matrices, (width, height), output_size)
+            padding_masks = W.zero_small(1.0 - cover)
+            ratios_dev = padding_masks.reshape(total_frames, -1).mean(axis=1)
+            stabilized = W.warp_clip(
+                frames, final_matrices, output_size, "bilinear", border
+            )
+        else:
+            stabilized, padding_masks = W.warp_clip_with_mask(
+                frames, final_matrices, output_size, "bilinear", border
+            )
+            ratios_dev = padding_masks.reshape(total_frames, -1).mean(axis=1)
     # only the tiny per-frame stats leave the device; masks are already
     # zero-smalled, so any nonzero mean implies detectable padding
-    padded_ratios = np.asarray(padding_masks.reshape(total_frames, -1).mean(axis=1))
+    padded_ratios = np.asarray(ratios_dev)
     padding_detected = bool((padded_ratios > 0).any())
     framing_meta["padding_detected"] = padding_detected
     _tick(progress_total, progress_total)

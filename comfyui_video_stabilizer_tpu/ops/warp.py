@@ -281,6 +281,11 @@ def _chunk_frames(n: int, in_h: int, in_w: int, out_h: int, out_w: int) -> int:
     return max(1, min(n, CHUNK_BUDGET_BYTES // max(per_frame, 1)))
 
 
+def will_stream(n: int, in_h: int, in_w: int, out_h: int, out_w: int) -> bool:
+    """True when warp_clip would stream through host time-chunks."""
+    return _chunk_frames(n, in_h, in_w, out_h, out_w) < n
+
+
 def _use_pallas(interp: str) -> bool:
     try:
         dev = jax.devices()[0]
@@ -380,11 +385,21 @@ def warp_clip_with_mask(
     exactly the reference's per-frame ``mask = 1 - (content > 0.5)``
     (/root/reference/nodes/video_stabilizer_classic.py:506-519).
     """
-    warped = warp_clip(frames, matrices, out_size, interp, border)
     n = frames.shape[0]
     out_w, out_h = int(out_size[0]), int(out_size[1])
     mask_chunk = max(1, min(n, CHUNK_BUDGET_BYTES // max(out_h * out_w * 16, 1)))
-    if isinstance(warped, np.ndarray) and mask_chunk < n:
+    if mask_chunk >= n:
+        # Dispatch the (cheap, closed-form) mask program BEFORE the big
+        # frame warp: device streams execute in dispatch order, so a
+        # caller that fetches mask-derived stats gets them while the
+        # frame warp is still running instead of serializing a host
+        # round-trip after it.
+        cover = coverage_mask(matrices, (frames.shape[2], frames.shape[1]), out_size)
+        padding = zero_small(1.0 - cover)
+        warped = warp_clip(frames, matrices, out_size, interp, border)
+        return warped, padding
+    warped = warp_clip(frames, matrices, out_size, interp, border)
+    if isinstance(warped, np.ndarray):
         padding = np.empty((n, out_h, out_w), np.float32)
         for s in range(0, n, mask_chunk):
             e = min(n, s + mask_chunk)
