@@ -139,18 +139,29 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int,
     # (A batched (B,k,k,H,W) candidate stack was tried to cut the op
     # count 3x, but the materialized stack + its layout copies measured
     # SLOWER end-to-end than the unrolled slice+agg chains; keep these.)
+    # Streaming min/argmin over the k*k candidates: the costs are never
+    # stacked into a (B, H, W, k, k) array (whose 49-lane minor axis
+    # tiles at 49/128 utilization); each candidate is one well-tiled
+    # (B, H, W) field folded into running (cmin, best) state.
     costs = []
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            sh = Jp[:, pad + dy : pad + dy + H, pad + dx : pad + dx + Wd]
-            costs.append(agg((I - sh) ** 2))
-    C = jnp.stack(costs, axis=-1).reshape(B, H, Wd, k, k)
-
-    flat = C.reshape(B, H, Wd, k * k)
-    best = jnp.argmin(flat, axis=-1)
+    cmin = None
+    best = None
+    for i, (dy, dx) in enumerate(
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+    ):
+        sh = Jp[:, pad + dy : pad + dy + H, pad + dx : pad + dx + Wd]
+        c = agg((I - sh) ** 2)
+        costs.append(c)
+        if cmin is None:
+            cmin, best = c, jnp.zeros(c.shape, jnp.int32)
+        else:
+            take = c < cmin
+            cmin = jnp.where(take, c, cmin)
+            best = jnp.where(take, i, best)
     by = best // k
-    bx = best % k
-    cmin = jnp.min(flat, axis=-1)
+    bx = best - by * k
 
     # parabolic sub-pixel along each axis around the integer minimum
     def parab(cm, cl, cr):
@@ -158,16 +169,22 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int,
         off = jnp.where(denom > 1e-9, 0.5 * (cl - cr) / jnp.maximum(denom, 1e-9), 0.0)
         return jnp.clip(off, -0.5, 0.5)
 
-    def pick(dyy, dxx):
-        # per-axis one-hot contraction keeps memory at O(k), not O(k^2)
-        ohy = jax.nn.one_hot(jnp.clip(by + dyy, 0, k - 1), k, dtype=C.dtype)
-        ohx = jax.nn.one_hot(jnp.clip(bx + dxx, 0, k - 1), k, dtype=C.dtype)
-        return jnp.einsum("bhwij,bhwi,bhwj->bhw", C, ohy, ohx)
-
-    cy0 = pick(-1, 0)
-    cy1 = pick(1, 0)
-    cx0 = pick(0, -1)
-    cx1 = pick(0, 1)
+    # neighbor costs (best +-1 per axis) by a second streaming pass:
+    # candidate i contributes where i == best + delta (clipped like the
+    # one-hot gather it replaces)
+    tgt_y0 = (jnp.maximum(by - 1, 0) * k) + bx
+    tgt_y1 = (jnp.minimum(by + 1, k - 1) * k) + bx
+    tgt_x0 = by * k + jnp.maximum(bx - 1, 0)
+    tgt_x1 = by * k + jnp.minimum(bx + 1, k - 1)
+    cy0 = jnp.zeros_like(cmin)
+    cy1 = jnp.zeros_like(cmin)
+    cx0 = jnp.zeros_like(cmin)
+    cx1 = jnp.zeros_like(cmin)
+    for i, c in enumerate(costs):
+        cy0 = jnp.where(tgt_y0 == i, c, cy0)
+        cy1 = jnp.where(tgt_y1 == i, c, cy1)
+        cx0 = jnp.where(tgt_x0 == i, c, cx0)
+        cx1 = jnp.where(tgt_x1 == i, c, cx1)
     suby = parab(cmin, cy0, cy1)
     subx = parab(cmin, cx0, cx1)
     # at window edges the clipped neighbor duplicates the center and the

@@ -134,7 +134,12 @@ def _plan(coeffs: np.ndarray, out_h: int, out_w: int, in_h: int, in_w: int,
     bias the kernel applies.
     """
     affine = bool(np.all(np.abs(coeffs[:, 6:8]) < 1e-12))
-    margin = 2 if affine else 3
+    # Affine fields are linear, so corner samples bound the in-kernel
+    # f32 evaluation up to ulp-scale floor flips at integer boundaries —
+    # and a flipped floor's out-of-range tap carries ~0 weight by
+    # continuity, so 1 covers the -1 origin bias alone.  Projective
+    # fields keep the sampled-bound slack.
+    margin = 1 if affine else 3
     extra = 4 if cubic else 2
     spans = {}
     for k_cand, th, tw in (_K_TILE_BICUBIC if cubic else _K_TILE_BILINEAR):
