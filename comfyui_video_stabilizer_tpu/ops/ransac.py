@@ -126,32 +126,37 @@ def _refit_homography(p, q, weight):
 def _ransac_single(key, p, q, valid, model: str, n_hyp: int, thresh: float):
     P = p.shape[0]
     m = 2 if model == "similarity" else 4
-    order = jnp.argsort(~valid)                  # valid points first (stable)
-    p_sorted = p[order]
-    q_sorted = q[order]
     vcount = valid.sum()
 
+    # Sample minimal sets over the RAW point array (no valid-first
+    # compaction: the argsort + two (P,2) gathers it needed are slow on
+    # TPU).  A hypothesis that drew any invalid point is zeroed-weight
+    # below — statistically negligible while the invalid fraction is
+    # small, and a mostly-invalid pair is already degeneracy-gated by
+    # the caller (MIN_VALID).
     u = jax.random.uniform(key, (n_hyp, m))
-    idx = jnp.minimum((u * vcount).astype(jnp.int32), jnp.maximum(vcount - 1, 0))
-    ps = p_sorted[idx]                           # (K, m, 2)
-    qs = q_sorted[idx]
+    idx = jnp.minimum((u * P).astype(jnp.int32), P - 1)
+    ps = p[idx]                                  # (K, m, 2)
+    qs = q[idx]
+    draw_ok = valid[idx].all(axis=1)             # (K,)
 
     solver = _solve_similarity_2pt if model == "similarity" else _solve_homography_4pt
     hyps = jax.vmap(solver)(ps, qs)              # (K, 3, 3)
-    hyps = jnp.where(jnp.isfinite(hyps).all(axis=(1, 2), keepdims=True), hyps, jnp.eye(3, dtype=jnp.float32))
+    hyp_ok = draw_ok[:, None, None] & jnp.isfinite(hyps).all(axis=(1, 2), keepdims=True)
+    hyps = jnp.where(hyp_ok, hyps, jnp.eye(3, dtype=jnp.float32))
+    hyp_ok_f = hyp_ok[:, 0, 0].astype(jnp.float32)
 
     valid_f = valid.astype(jnp.float32)
     thresh_sq = thresh * thresh
 
     # Hypothesis ranking only needs a representative subset; the
     # winner's inlier set (and the acceptance confidence) is computed
-    # on the full point set in refine().  The subset is the deterministic
-    # valid-first prefix, i.e. an unbiased spatial sample of the grid.
+    # on the full point set in refine().  The subset is a deterministic
+    # prefix of the grid, i.e. an unbiased spatial sample.
     n_score = min(P, 2048)
-    p_score = p_sorted[:n_score]
-    q_score = q_sorted[:n_score]
-    vcount_score = jnp.minimum(vcount, n_score).astype(jnp.float32)
-    score_valid = (jnp.arange(n_score) < vcount).astype(jnp.float32)
+    p_score = p[:n_score]
+    q_score = q[:n_score]
+    score_valid = valid_f[:n_score]
 
     def count_chunk(carry, hyp_chunk):
         proj = jax.vmap(lambda H: _apply_homography(H, p_score))(hyp_chunk)
@@ -162,7 +167,7 @@ def _ransac_single(key, p, q, valid, model: str, n_hyp: int, thresh: float):
     n_chunks = max(1, n_hyp // _CHUNK)
     hyp_chunks = hyps[: n_chunks * _CHUNK].reshape(n_chunks, -1, 3, 3)
     _, counts = jax.lax.scan(count_chunk, None, hyp_chunks)
-    counts = counts.reshape(-1)
+    counts = counts.reshape(-1) * hyp_ok_f[: n_chunks * _CHUNK]
 
     best = jnp.argmax(counts)
     H_best = hyps[best]
