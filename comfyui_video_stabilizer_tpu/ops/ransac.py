@@ -228,18 +228,54 @@ def fit_model_batch(
     return np.asarray(H), np.asarray(n_in), np.asarray(n_valid)
 
 
+def _kth_smallest_bits(x_bits: jnp.ndarray, k: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
+    """Exact k-th smallest (0-based) of each row of monotonic int32 keys
+    via bitwise binary search — ``iters`` compare+count passes instead
+    of a TPU sort chain.  k may vary per row."""
+    # pre-split on sign so hi - lo never overflows int32
+    n_neg = (x_bits < 0).sum(axis=1)
+    in_neg = k < n_neg
+    lo = jnp.where(in_neg, jnp.int32(jnp.iinfo(jnp.int32).min), jnp.int32(0))
+    hi = jnp.where(in_neg, jnp.int32(-1), jnp.int32(jnp.iinfo(jnp.int32).max))
+    for _ in range(iters):
+        mid = lo + ((hi - lo) >> 1)                             # no overflow
+        below = (x_bits <= mid[:, None]).sum(axis=1)            # rank of mid
+        go_up = below <= k                                      # kth is above mid
+        lo = jnp.where(go_up, mid + 1, lo)
+        hi = jnp.where(go_up, hi, mid)
+    return lo
+
+
+def _float_to_ordered_bits(x: jnp.ndarray) -> jnp.ndarray:
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.where(b < 0, jnp.int32(-2147483648) - b - 1, b)
+
+
+def _ordered_bits_to_float(b: jnp.ndarray) -> jnp.ndarray:
+    raw = jnp.where(b < 0, jnp.int32(-2147483648) - b - 1, b)
+    return jax.lax.bitcast_convert_type(raw, jnp.float32)
+
+
 @jax.jit
 def _masked_median_shift(prev_pts, curr_pts, valid):
-    """np.median semantics per pair under a validity mask, on device."""
+    """np.median semantics per pair under a validity mask, on device.
+
+    Selection runs as a bitwise binary search on the order-preserving
+    int32 image of the floats (exact, no sort kernels).
+    """
     shifts = curr_pts - prev_pts                                # (B, P, 2)
     big = jnp.float32(3.0e38)
     masked = jnp.where(valid[..., None], shifts, big)
-    srt = jnp.sort(masked, axis=1)
     v = valid.sum(axis=1)                                       # (B,)
-    lo = jnp.maximum((v - 1) // 2, 0)
-    hi = v // 2
-    take = lambda idx: jnp.take_along_axis(srt, idx[:, None, None].repeat(2, 2), axis=1)[:, 0]
-    med = 0.5 * (take(lo) + take(hi))
+    lo_k = jnp.maximum((v - 1) // 2, 0)
+    hi_k = v // 2
+    meds = []
+    for axis in range(2):
+        bits = _float_to_ordered_bits(masked[..., axis])
+        a = _ordered_bits_to_float(_kth_smallest_bits(bits, lo_k))
+        b = _ordered_bits_to_float(_kth_smallest_bits(bits, hi_k))
+        meds.append(0.5 * (a + b))
+    med = jnp.stack(meds, axis=-1)
     return jnp.where((v > 0)[:, None], med, 0.0)
 
 
