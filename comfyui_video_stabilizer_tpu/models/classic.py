@@ -15,8 +15,11 @@ Acceptance contract (same thresholds as the reference):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops import lk as LK
@@ -31,6 +34,36 @@ PERSP_MIN_RATIO = 0.15
 SIM_MIN_RATIO = 0.1
 
 
+@functools.partial(jax.jit, static_argnames=("want_persp", "n_hyp"))
+def _fused_classic_fits(pts, tracked, status, seed, want_persp, n_hyp):
+    """Every robust fit + the survivor stats as ONE device program so
+    the estimator pays a single host round-trip (same structure as the
+    flow path's _fused_fits_sampled)."""
+    b = pts.shape[0]
+    surv = status.sum(axis=1)
+
+    def keys(salt):
+        return jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed + salt), i))(
+            jnp.arange(b)
+        )
+
+    out = [surv]
+    if want_persp:
+        H, nH, vH = RS._ransac_batched(
+            keys(0), pts, tracked, status, "perspective", n_hyp, RS.PERSP_THRESH
+        )
+        out += [H, nH, vH]
+    S, nS, vS = RS._ransac_batched(
+        keys(1), pts, tracked, status, "similarity", n_hyp, RS.SIM_THRESH
+    )
+    out += [S, nS, vS]
+    med = RS._masked_median_shift(pts, tracked, status)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
+    T = eye.at[:, 0, 2].set(med[:, 0]).at[:, 1, 2].set(med[:, 1])
+    out.append(T)
+    return tuple(out)
+
+
 def classic_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> PairFits:
     n = grays.shape[0]
     b = n - 1
@@ -40,31 +73,36 @@ def classic_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) 
     curr_pyr = [lvl[1:] for lvl in pyr]
     tracked, status = LK.lk_track(prev_pyr, curr_pyr, pts, det_counts)
 
-    status_np = np.asarray(status)
-    surv_counts = status_np.sum(axis=1)
+    want_persp = requested_mode == "perspective"
+    fused = jax.device_get(
+        _fused_classic_fits(
+            jnp.asarray(pts), tracked, status, seed, want_persp, RS.DEFAULT_HYPOTHESES
+        )
+    )
+    it = iter(fused)
+    surv_counts = np.asarray(next(it))
     degenerate = (det_counts < MIN_FEATURES) | (surv_counts < MIN_TRACKS)
 
     matrices: Dict[str, np.ndarray] = {}
     confidences: Dict[str, np.ndarray] = {}
     accepted: Dict[str, np.ndarray] = {}
 
-    if requested_mode == "perspective":
-        H, n_in, n_valid = RS.fit_model_batch(pts, tracked, status, "perspective", seed=seed)
+    if want_persp:
+        H, n_in, n_valid = (np.asarray(next(it)) for _ in range(3))
         conf = np.where(n_valid > 0, n_in / np.maximum(n_valid, 1), 0.0)
         finite = np.isfinite(H).all(axis=(1, 2))
         matrices["perspective"] = H
         confidences["perspective"] = conf
         accepted["perspective"] = finite & (surv_counts >= 4) & (conf >= PERSP_MIN_RATIO)
 
-    if requested_mode in ("perspective", "similarity"):
-        S, n_in, n_valid = RS.fit_model_batch(pts, tracked, status, "similarity", seed=seed + 1)
-        conf = np.where(n_valid > 0, n_in / np.maximum(n_valid, 1), 0.0)
-        finite = np.isfinite(S).all(axis=(1, 2))
-        matrices["similarity"] = S
-        confidences["similarity"] = conf
-        accepted["similarity"] = finite & (surv_counts >= 3) & (conf >= SIM_MIN_RATIO)
+    S, n_in, n_valid = (np.asarray(next(it)) for _ in range(3))
+    conf = np.where(n_valid > 0, n_in / np.maximum(n_valid, 1), 0.0)
+    finite = np.isfinite(S).all(axis=(1, 2))
+    matrices["similarity"] = S
+    confidences["similarity"] = conf
+    accepted["similarity"] = finite & (surv_counts >= 3) & (conf >= SIM_MIN_RATIO)
 
-    T = RS.median_translation_batch(pts, tracked, status)
+    T = np.asarray(next(it))
     matrices["translation"] = T
     confidences["translation"] = np.where(
         det_counts > 0, surv_counts / np.maximum(det_counts, 1), 0.0
