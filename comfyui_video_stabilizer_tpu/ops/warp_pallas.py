@@ -52,7 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 # (scripts/profile_kernel_ablate.py lineage): (64, 256) tiles beat
 # (64, 128) by ~18% at 1080p (half the window-DMA amplification).
 _K_TILE_BILINEAR = (
-    (4, 64, 256), (5, 64, 256), (6, 64, 256), (8, 64, 256),
+    # (4, 128, 256) first: 25% faster than 64-row tiles at 1080p (fewer
+    # per-tile origin solves/DMA setups); the 64-row k=4 variant stays
+    # for clips whose 128-row tile span no longer fits k=4.  At k>=5
+    # the weight/FMA compute dominates and 128-row tiles stop paying.
+    (4, 128, 256), (4, 64, 256), (5, 64, 256), (6, 64, 256), (8, 64, 256),
     (10, 32, 256), (14, 32, 128), (18, 16, 128),
 )
 _K_TILE_BICUBIC = (
