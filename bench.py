@@ -108,6 +108,7 @@ def main() -> None:
     run()
     print(f"warmup {time.perf_counter() - t0:.1f}s; timed runs...", file=sys.stderr)
 
+    mode_applied = run().meta["transform_mode_applied"]
     samples = []
     for trial in range(5):
         # settle the relay between trials: back-to-back runs queue
@@ -116,13 +117,16 @@ def main() -> None:
         # with the pause), not the pipeline.
         time.sleep(2.0)
         t0 = time.perf_counter()
-        result = run()
+        # the result is dropped INSIDE the trial: holding the previous
+        # trial's device buffers across a run doubles the live output
+        # set and reproducibly throttles later trials to ~half speed
+        run()
         elapsed = time.perf_counter() - t0
         fps = n / elapsed
         samples.append(fps)
         print(
             f"trial {trial}: {elapsed:.2f}s for {n} frames -> {fps:.1f} f/s "
-            f"(mode {result.meta['transform_mode_applied']})",
+            f"(mode {mode_applied})",
             file=sys.stderr,
         )
 
