@@ -149,8 +149,26 @@ def gftt_batch(grays, max_corners: int = MAX_CORNERS):
 
 @jax.jit
 def _pyr_down(stack: jnp.ndarray) -> jnp.ndarray:
-    blurred = _conv2(stack, _PYR_K)
-    return blurred[:, ::2, ::2]
+    """Gaussian blur + stride-2 as separable shift-adds.
+
+    Numerically the same [1,4,6,4,1]/16-per-axis kernel as _conv2 with
+    _PYR_K, but built from static slices: conv_general_dilated on
+    certain (B, 540, 960)-class shapes crashes the TPU runtime (worker
+    kernel fault, reproduced twice), and the shift-add form sidesteps
+    that lowering entirely.
+    """
+    B, H, Wd = stack.shape
+    w = (1.0, 4.0, 6.0, 4.0, 1.0)
+    p = jnp.pad(stack, ((0, 0), (2, 2), (2, 2)), mode="reflect")
+    v = None
+    for i, wi in enumerate(w):
+        t = p[:, i : i + H, :] * wi
+        v = t if v is None else v + t
+    out = None
+    for j, wj in enumerate(w):
+        t = v[:, :, j : j + Wd] * wj
+        out = t if out is None else out + t
+    return (out * (1.0 / 256.0))[:, ::2, ::2]
 
 
 def gaussian_pyramid(stack, levels: int = MAX_LEVEL) -> List[jnp.ndarray]:
