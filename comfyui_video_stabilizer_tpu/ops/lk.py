@@ -38,18 +38,48 @@ EPS = 0.01
 # ---------------------------------------------------------------------------
 
 def _conv2(stack: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """(B, H, W) (x) (kh, kw) 'SAME' with reflect-101 edge handling."""
+    """(B, H, W) (x) (kh, kw) 'SAME' with reflect-101 edge handling.
+
+    Computed as static shift-adds (separable when the kernel factors,
+    which every kernel here does): conv_general_dilated reproducibly
+    crashes the TPU worker on some (B, 540, 960)-class stacks, and the
+    slice form is also faster for these small kernels.
+    """
+    kernel = np.asarray(kernel, np.float64)
     kh, kw = kernel.shape
     ph, pw = kh // 2, kw // 2
+    B, H, Wd = stack.shape
     padded = jnp.pad(stack, ((0, 0), (ph, ph), (pw, pw)), mode="reflect")
-    out = jax.lax.conv_general_dilated(
-        padded[:, None],
-        jnp.asarray(kernel, jnp.float32)[None, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[:, 0]
+    # rank-1 factorization (exact for all kernels used in this module):
+    # pivot on the first nonzero so integer kernels keep exact weights
+    r0, c0 = np.argwhere(kernel != 0.0)[0]
+    ky64 = kernel[:, c0]
+    kx64 = kernel[r0, :] / kernel[r0, c0]
+    if np.array_equal(np.outer(ky64, kx64), kernel):
+        ky = ky64.astype(np.float32)
+        kx = kx64.astype(np.float32)
+        v = None
+        for i in range(kh):
+            if ky[i] == 0.0:
+                continue
+            t = padded[:, i : i + H, :] * ky[i]
+            v = t if v is None else v + t
+        out = None
+        for j in range(kw):
+            if kx[j] == 0.0:
+                continue
+            t = v[:, :, j : j + Wd] * kx[j]
+            out = t if out is None else out + t
+        return out
+    out = None
+    for i in range(kh):
+        for j in range(kw):
+            kij = float(kernel[i, j])
+            if kij == 0.0:
+                continue
+            t = padded[:, i : i + H, j : j + Wd] * kij
+            out = t if out is None else out + t
+    return out
 
 
 _SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
