@@ -793,10 +793,14 @@ def dis_flow_fit(
     grays = jnp.asarray(grays, jnp.float32)
     coarsest = num_levels(h, w)
     finest = min(finest_scale, coarsest)
-    # 2 refine rounds: measured fit accuracy is identical to 3 on the
-    # oracle scene (the third round only polishes dense-EPE, which this
-    # path does not serve)
-    return _dis_flow_fit_fused(grays, coarsest, finest, radius, patch, 2, model, step)
+    # 2 refine rounds and radius-2 cost volumes (25 candidates vs 49):
+    # measured fit accuracy is identical to rounds=3/radius=3 on the
+    # oracle scene — the extra round and radius only serve dense-EPE
+    # fidelity and moving-content flow range, neither of which the fit
+    # grid consumes.  The level pre-warps keep per-level residuals
+    # sub-pixel, well inside +-2.
+    return _dis_flow_fit_fused(grays, coarsest, finest, min(radius, 2), patch, 2,
+                               model, step)
 
 
 def _scale_matrix_batch(M: np.ndarray, factor: float) -> np.ndarray:
