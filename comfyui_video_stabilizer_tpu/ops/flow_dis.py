@@ -598,11 +598,16 @@ def _guarded_fit(flow_level, conf, M_prev, model):
 
 
 def _dis_levels(grays, coarsest, finest, radius, patch, refine_rounds,
-                model="similarity"):
+                model="similarity", lk_mid=False):
     """Coarse-to-fine solve down to ``finest`` (traced body, no polish).
 
     Returns (flow_level, conf_level, M, pyr_I, pyr_J) with flow at level
     ``finest`` resolution in level-pixel units.
+
+    ``lk_mid``: intermediate descent levels refine LK-only (no cost
+    volume) — the coarser level's fitted pre-warp already leaves a
+    sub-pixel residual there.  Used by the fit path; measured fit
+    accuracy slightly BETTER than full CV descent even at 4x-shake.
     """
     b = grays.shape[0] - 1
     # one pyramid of the whole clip; I/J are shifted views per level
@@ -634,7 +639,8 @@ def _dis_levels(grays, coarsest, finest, radius, patch, refine_rounds,
     for lvl in range(coarsest, finest - 1, -1):
         if lvl != coarsest:
             M = scale_up(M)
-        flow_level, conf_level = refine_at(lvl, M)
+        mid = lk_mid and lvl != coarsest and lvl > finest
+        flow_level, conf_level = refine_at(lvl, M, lk_only=mid)
         if lvl > finest:
             M = fit(flow_level, conf_level, M)
 
@@ -730,7 +736,7 @@ def _dis_flow_fit_fused(grays, coarsest, finest, radius, patch, refine_rounds,
     exactly models/flow._grid_points(h, w, step).
     """
     flow_level, conf_level, M, pyr_I, _ = _dis_levels(
-        grays, coarsest, finest, radius, patch, refine_rounds, model
+        grays, coarsest, finest, radius, patch, refine_rounds, model, lk_mid=True
     )
     scale = float(1 << finest)
     lh, lw = flow_level.shape[1], flow_level.shape[2]
