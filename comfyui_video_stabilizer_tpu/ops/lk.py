@@ -109,6 +109,20 @@ def _nms_candidates(eig: jnp.ndarray):
     return scores
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_packed(grays, k):
+    """NMS + top-k candidate indices with validity packed as -1.
+
+    One int32 array leaves the device (the scores were only ever used
+    for the finite/positive filter, and the dev tunnel charges ~50 ms/MB
+    for the float payload)."""
+    scores = _nms_candidates(_min_eig_map(jnp.asarray(grays, jnp.float32)))
+    flat = scores.reshape(scores.shape[0], -1)
+    top_vals, top_idx = jax.lax.top_k(flat, k)
+    ok = jnp.isfinite(top_vals) & (top_vals > 0)
+    return jnp.where(ok, top_idx, -1).astype(jnp.int32)
+
+
 def gftt_batch(grays, max_corners: int = MAX_CORNERS):
     """(B, H, W) -> (pts (B, max_corners, 2) f32, counts (B,) int).
 
@@ -118,12 +132,8 @@ def gftt_batch(grays, max_corners: int = MAX_CORNERS):
     reference's greedy ordering semantics.
     """
     B, H, W = grays.shape
-    scores = _nms_candidates(_min_eig_map(jnp.asarray(grays, jnp.float32)))
     k = min(2048, H * W)
-    flat = scores.reshape(B, -1)
-    top_vals, top_idx = jax.lax.top_k(flat, k)
-    top_vals = np.asarray(top_vals)
-    top_idx = np.asarray(top_idx)
+    top_idx = np.asarray(_topk_packed(grays, k))
 
     try:
         from ..native import rectangle as _native
@@ -137,9 +147,9 @@ def gftt_batch(grays, max_corners: int = MAX_CORNERS):
     cell = max(1, int(MIN_DISTANCE))
     min_d2 = MIN_DISTANCE * MIN_DISTANCE
     for b in range(B):
-        finite = np.isfinite(top_vals[b]) & (top_vals[b] > 0)
-        n_cand = int(finite.sum())
-        idxs = top_idx[b][:n_cand]
+        row = top_idx[b]
+        n_cand = int((row != -1).sum())   # invalid (-inf) scores sort last
+        idxs = row[:n_cand]
         ys = idxs // W
         xs = idxs % W
         if greedy is not None:
@@ -350,7 +360,7 @@ def _lk_level(wins_t, wins_gx, wins_gy, wins_j, pts_level, guess, valid,
     hi = WEXT - win - 0.5
 
     def body(state):
-        it, g_cur, done = state
+        it, g_cur, done, prev_step2, stall = state
         ly = jnp.clip(g_cur[:, 1] - half - base[:, 1], lo, hi)
         lx = jnp.clip(g_cur[:, 0] - half - base[:, 0], lo, hi)
         Jp = _sample_from_windows(wins_j, ly, lx, win)
@@ -368,14 +378,26 @@ def _lk_level(wins_t, wins_gx, wins_gy, wins_j, pts_level, guess, valid,
             axis=-1,
         )
         small = (dx * dx + dy * dy) <= eps * eps
-        return it + 1, g_new, done | small | ~runnable
+        # stall cutoff: a Gauss-Newton track whose step is not shrinking
+        # is oscillating on junk (textureless / out-of-window content);
+        # cv2 would burn the full 50 iterations on it and return an
+        # equally-arbitrary position, but in this lockstep batch every
+        # straggler costs ALL tracks an iteration.  Converging tracks
+        # shrink geometrically and never trip the counter.
+        step2 = dx * dx + dy * dy
+        stall = jnp.where(step2 >= 0.98 * prev_step2, stall + 1, 0)
+        return (it + 1, g_new, done | small | ~runnable | (stall >= 5),
+                step2, stall)
 
     def cond(state):
-        it, _, done = state
+        it, _, done, _, _ = state
         return (it < iters) & (~done.all())
 
-    _, g_iter, _ = jax.lax.while_loop(
-        cond, body, (0, guess, jnp.zeros(guess.shape[0], bool))
+    f0 = guess.shape[0]
+    _, g_iter, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (0, guess, jnp.zeros(f0, bool),
+         jnp.full((f0,), jnp.inf, jnp.float32), jnp.zeros(f0, jnp.int32)),
     )
     g_out = jnp.where(runnable[:, None], g_iter, guess)
     if is_level0:
