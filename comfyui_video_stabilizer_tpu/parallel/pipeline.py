@@ -97,7 +97,15 @@ def _translation_warp(frames: jnp.ndarray, offsets: jnp.ndarray, border: jnp.nda
 
     # one dynamic slice per frame via vmap (the production pixel path is
     # ops/warp; this keeps the single-jit step gather-free and shardable).
-    PAD = 16  # integer shifts beyond +-PAD px are masked as padding anyway
+    # Shift budget of THIS sidecar step (not the production engine):
+    # integer corrections beyond +-PAD px clamp, which under-corrects
+    # clips shakier than +-16 px.  The production pipelines have no such
+    # cap (ops/warp plans per-clip); this single-jit demonstration step
+    # trades range for a static, mesh-shardable shape.  The flow
+    # solve's own integer pre-shift cap is pad_t=32 WORKING-res px
+    # (ops/flow_dis._warp_similarity_device) — larger inter-frame
+    # motion than that exceeds DIS's own search design.
+    PAD = 16
 
     def one(frame, ix, iy, fxs, fys):
         ixc = jnp.clip(ix.astype(jnp.int32), -PAD, PAD)
