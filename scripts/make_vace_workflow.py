@@ -42,7 +42,6 @@ def node(nid, ntype, pos, size, inputs, outputs, widgets=None, order=0, title=No
     return n
 
 
-_BY_ID = {}
 
 
 def link(src, src_slot, dst, dst_slot, ltype):

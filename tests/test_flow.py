@@ -233,3 +233,38 @@ def test_area_resize_box_pool_fast_path_matches_dense_and_cv2():
     y = np.asarray(R.area_resize(x, (100, 50)))
     cvy = np.stack([cv2.resize(f, (100, 50), interpolation=cv2.INTER_AREA) for f in x])
     assert np.abs(y - cvy).max() < 1e-3
+
+
+def test_fused_gray_pool_kernel_matches_two_pass():
+    """The integer-factor fused gray+INTER_AREA kernel (device-array
+    fast path in resize.gray_for_estimation) must equal gray-then-
+    area-resize exactly."""
+    import jax.numpy as jnp
+
+    from comfyui_video_stabilizer_tpu.ops.resize import (
+        area_resize,
+        gray_for_estimation,
+        make_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    frames_np = rng.random((3, 128, 192, 3)).astype(np.float32)
+    fused = gray_for_estimation(jnp.asarray(frames_np), (96, 64))
+    two_pass = area_resize(make_gray(frames_np), (96, 64))
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(two_pass))
+
+
+def test_fit_grid_sample_count_matches_grid_points():
+    """dis_flow_fit's sample axis must line up with models/flow's
+    8-px grid for any working size (incl. dims not divisible by the
+    level factor)."""
+    from comfyui_video_stabilizer_tpu.models.flow import _grid_points
+    from comfyui_video_stabilizer_tpu.ops.flow_dis import dis_flow_fit
+
+    for h, w in ((240, 360), (238, 357), (130, 210)):
+        rng = np.random.default_rng(h)
+        grays = rng.random((3, h, w)).astype(np.float32) * 255.0
+        samples = np.asarray(dis_flow_fit(grays, 8))
+        pts = np.asarray(_grid_points(h, w, 8))
+        assert samples.shape == (2, pts.shape[0], 2), (samples.shape, pts.shape)
+        assert np.isfinite(samples).all()
