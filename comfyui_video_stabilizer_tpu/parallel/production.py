@@ -32,6 +32,7 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..models.classic import stabilize_classic
 from ..models.flow import stabilize_flow
 from ..models.stabilize import StabilizationResult
 from ..utils.video_io import FrameAdapter, VideoContext
@@ -71,6 +72,28 @@ def stabilize_flow_sharded(
     ctx = sharded_video_context(frames, mesh, fps=frame_rate)
     with jax.sharding.set_mesh(mesh):
         return stabilize_flow(
+            ctx, framing_mode, transform_mode, camera_lock,
+            strength, smooth, keep_fov, padding_rgb, frame_rate,
+        )
+
+
+def stabilize_classic_sharded(
+    frames: np.ndarray,
+    mesh: Mesh,
+    *,
+    framing_mode: str = "crop_and_pad",
+    transform_mode: str = "similarity",
+    camera_lock: bool = False,
+    strength: float = 0.9,
+    smooth: float = 0.6,
+    keep_fov: float = 0.6,
+    padding_rgb: Tuple[int, int, int] = (127, 127, 127),
+    frame_rate: float = 16.0,
+) -> StabilizationResult:
+    """Run the production Classic engine with the clip sharded over the mesh."""
+    ctx = sharded_video_context(frames, mesh, fps=frame_rate)
+    with jax.sharding.set_mesh(mesh):
+        return stabilize_classic(
             ctx, framing_mode, transform_mode, camera_lock,
             strength, smooth, keep_fov, padding_rgb, frame_rate,
         )

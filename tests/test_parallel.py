@@ -115,3 +115,39 @@ def test_production_flow_engine_sharded_matches_single_device():
     )
 
     sharded_stabilize_flow_check(make_mesh(8))
+
+
+def test_production_classic_engine_sharded_runs():
+    """The Classic engine also runs with the clip sharded over the mesh
+    (GFTT top-k + LK + RANSAC under GSPMD) and agrees with the
+    single-device run on mode decisions and outputs."""
+    from comfyui_video_stabilizer_tpu.parallel.mesh import make_mesh
+    from comfyui_video_stabilizer_tpu.parallel.production import (
+        stabilize_classic_sharded,
+    )
+    from comfyui_video_stabilizer_tpu.models.classic import stabilize_classic
+    from comfyui_video_stabilizer_tpu.utils.video_io import normalize_video_input
+
+    rng = np.random.default_rng(2)
+    mesh = make_mesh(8)
+    n, h, w = 16, 72, 104
+    base = rng.random((h + 40, w + 40), np.float32)
+    frames = np.empty((n, h, w, 3), np.float32)
+    for i in range(n):
+        dy, dx = int(3 * np.sin(i / 2.0)), int(4 * np.cos(i / 3.0))
+        crop = base[20 + dy : 20 + dy + h, 20 + dx : 20 + dx + w]
+        frames[i] = np.stack([crop, crop * 0.8 + 0.1, 1.0 - crop], axis=-1)
+
+    res_s = stabilize_classic_sharded(frames, mesh)
+    res_r = stabilize_classic(
+        normalize_video_input(frames), "crop_and_pad", "similarity", False,
+        0.9, 0.6, 0.6, (127, 127, 127), 16.0,
+    )
+    pt_s = res_s.meta["estimated_motion"]["per_transition"]
+    pt_r = res_r.meta["estimated_motion"]["per_transition"]
+    assert [e["mode"] for e in pt_s] == [e["mode"] for e in pt_r]
+    ms = np.asarray([e["matrix"] for e in pt_s])
+    mr = np.asarray([e["matrix"] for e in pt_r])
+    assert np.abs(ms[:, :2, 2] - mr[:, :2, 2]).max() < 0.05
+    diff = np.abs(np.asarray(res_s.frames) - np.asarray(res_r.frames))
+    assert np.quantile(diff, 0.99999) < 0.02, float(np.quantile(diff, 0.99999))
