@@ -57,10 +57,26 @@ def synth_clip_device(n, h, w, seed=0):
     crop = np.eye(3)
     crop[0, 2] = crop[1, 2] = -64
     view = np.stack([crop @ np.linalg.inv(m) for m in mats])
+    clip_bytes = n * h * w * 3 * 4
+    if clip_bytes > W.CHUNK_BUDGET_BYTES // 2:
+        # oversized clip (e.g. 4K/300f ~ 30 GB): synthesize in chunks
+        # into a HOST buffer — the pipelines' streaming paths expect
+        # exactly that, and a device broadcast would materialize the
+        # whole clip in HBM
+        out = np.empty((n, h, w, 3), np.float32)
+        step = max(1, (W.CHUNK_BUDGET_BYTES // 16) // max(h * w * 3 * 4, 1))
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            sub = W.warp_clip(
+                jnp.broadcast_to(base[None], (e - s,) + base.shape), view[s:e],
+                (w, h), "bilinear", (0.5, 0.5, 0.5),
+            )
+            out[s:e] = np.asarray(sub)
+        return out
     frames = W.warp_clip(
         jnp.broadcast_to(base[None], (n,) + base.shape), view, (w, h), "bilinear", (0.5, 0.5, 0.5)
     )
-    return jnp.asarray(frames)  # device, even if the warp streamed via host
+    return jnp.asarray(frames)
 
 
 def main() -> None:
