@@ -152,3 +152,30 @@ def test_streaming_chunked_path_matches_unchunked(monkeypatch):
     samples = np.repeat(mats[:, None], 3, axis=1)
     bf, bm = W2.warp_clip_blur(frames, samples, (w, h), "bilinear", (0.1, 0.2, 0.3))
     np.testing.assert_allclose(np.asarray(bf), full, atol=1e-6)
+
+
+def test_streaming_full_pipeline_matches_unstreamed(monkeypatch):
+    """stabilize_flow on a host-resident clip with a tiny chunk budget
+    (the 4K/300f class) matches the in-HBM run end-to-end."""
+    from comfyui_video_stabilizer_tpu.models.flow import stabilize_flow
+    from comfyui_video_stabilizer_tpu.ops import warp as W2
+    from comfyui_video_stabilizer_tpu.utils.video_io import normalize_video_input
+
+    rng = np.random.default_rng(4)
+    base = rng.random((140, 180), np.float32)
+    n, h, w = 10, 96, 128
+    frames = np.empty((n, h, w, 3), np.float32)
+    for i in range(n):
+        dy, dx = int(4 * np.sin(i / 1.5)), int(5 * np.cos(i / 2.0))
+        crop = base[20 + dy : 20 + dy + h, 24 + dx : 24 + dx + w]
+        frames[i] = np.stack([crop, 1.0 - crop, crop * 0.5 + 0.25], axis=-1)
+
+    ref = stabilize_flow(normalize_video_input(frames), "crop_and_pad", "similarity",
+                         False, 0.8, 0.6, 0.6, (127, 127, 127), 16.0)
+
+    monkeypatch.setattr(W2, "CHUNK_BUDGET_BYTES", frames[0].nbytes * 12)
+    streamed = stabilize_flow(normalize_video_input(frames), "crop_and_pad", "similarity",
+                              False, 0.8, 0.6, 0.6, (127, 127, 127), 16.0)
+    assert isinstance(streamed.frames, np.ndarray)
+    np.testing.assert_allclose(np.asarray(streamed.frames), np.asarray(ref.frames), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(streamed.masks), np.asarray(ref.masks), atol=1e-6)
