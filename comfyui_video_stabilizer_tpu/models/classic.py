@@ -16,7 +16,7 @@ Acceptance contract (same thresholds as the reference):
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

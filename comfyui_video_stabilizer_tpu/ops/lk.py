@@ -17,7 +17,7 @@ TPU re-design of cv2.goodFeaturesToTrack / cv2.calcOpticalFlowPyrLK
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
