@@ -18,14 +18,22 @@ stabilization warps:
   The origin of tile t+1 is computed during tile t and carried in an
   SMEM scratch slot, where the double-buffered window DMA picks it up.
 * Window DMAs must start on the (8, 128) HBM tiling, so origins are
-  aligned down.  The column residual (0..127) is removed with ONE
-  dynamic lane roll of the window; the row residual (0..7) folds into
-  dynamic-start row slices in the tap loop — rows are never rolled,
-  which keeps the window short (no power-of-two row count).
-* The source is pre-padded by one tile+window extent so a clamped
-  (image-edge) DMA origin implies the tile has no valid taps at all;
-  out-of-image taps carry zero weight and the missing weight mass is
-  filled with the border color (exact BORDER_CONSTANT semantics).
+  aligned down.  Both residuals are removed with dynamic rolls of the
+  window (one lane roll for the 0..127 column residual, one sublane
+  roll for the 0..7 row residual), after which the tap loop runs
+  exactly K statically-sliced iterations.
+* The source is pre-padded by one full window extent per side
+  (pad_y == wh) so a clamped (image-edge) DMA origin implies the tile
+  has no valid taps at all; out-of-image taps carry zero weight and
+  the missing weight mass is filled with the border color (exact
+  BORDER_CONSTANT semantics).  pad_y must equal wh: a smaller pad
+  leaves a band of origins where the bottom clamp engages while valid
+  taps remain, which silently drops them (regression-tested at large
+  translations in tests/test_warp_pallas.py).
+* Shutter-blur runs the SAME kernel with the sample index as the
+  innermost grid axis: the output tile stays resident in VMEM across
+  the S samples and is written back once — S-fold fewer output
+  round-trips to HBM than scanning whole-clip warps.
 
 The kernel reproduces the XLA path's numerics exactly-by-construction
 (same displacement-field coordinate math, same weights); equivalence
@@ -88,7 +96,12 @@ def _geometry(k: int, th: int, tw: int, out_h: int, out_w: int):
     ww = 256
     while ww < tw + k + 128:
         ww *= 2
-    pad_y = -(-(th + k) // 8) * 8
+    # pad_y == wh is a correctness invariant, not slack: the in-kernel
+    # origin clamp (oy_p = clip(oy_c, 0, H_padded - wh)) may only engage
+    # on tiles with NO valid taps.  With pad_y == wh the bottom clamp
+    # fires iff oy_c > in_h + pad_y, and the shallowest tap of such a
+    # tile already sits past the last image row.
+    pad_y = wh
     pad_x = -(-(tw + k) // 128) * 128
     return n_th, n_tw, wh, ww, pad_y, pad_x
 
@@ -177,8 +190,8 @@ def _cubic_w(t, idx):
     return 1.0 - _cubic_w(t, 0) - _cubic_w(t, 1) - _cubic_w(t, 2)
 
 
-def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w, pad_y, pad_x,
-                 channels, interp, affine):
+def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
+                 pad_y, pad_x, channels, interp, affine):
     taps = 4 if interp == "bicubic" else 2
     tap_start = -1 if interp == "bicubic" else 0
     off = 1 if interp == "bicubic" else 0
@@ -189,28 +202,33 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w, pad_y, pad_x,
     else:
         fracs = (0, 1, 2, 3, 4)
     lim = 1.0e6
+    tiles_per_frame = n_th * n_tw * n_samples
 
-    def kernel(coeffs_ref, border_ref, img_ref, out_ref, win, rolled, acc, org, sem):
+    def kernel(coeffs_ref, border_ref, img_ref, out_ref, win, rolled, org, sem):
         n = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
-        tile_id = (n * n_th + ty) * n_tw + tx
-        total_tiles = pl.num_programs(0) * n_th * n_tw
+        si = pl.program_id(3)
+        tile_id = (((n * n_th + ty) * n_tw + tx) * n_samples) + si
+        total_tiles = pl.num_programs(0) * tiles_per_frame
 
         def compute_origins(tid, slot):
             """Scalar window-origin solve for tile `tid` -> org[slot]."""
-            fn = tid // (n_th * n_tw)
-            rest = jax.lax.rem(tid, n_th * n_tw)
-            tyy = rest // n_tw
+            sii = jax.lax.rem(tid, n_samples)
+            rest = tid // n_samples
             txx = jax.lax.rem(rest, n_tw)
-            a = coeffs_ref[fn * 8 + 0]
-            b = coeffs_ref[fn * 8 + 1]
-            c = coeffs_ref[fn * 8 + 2]
-            d = coeffs_ref[fn * 8 + 3]
-            e = coeffs_ref[fn * 8 + 4]
-            f = coeffs_ref[fn * 8 + 5]
-            g = coeffs_ref[fn * 8 + 6]
-            h = coeffs_ref[fn * 8 + 7]
+            rest = rest // n_tw
+            tyy = jax.lax.rem(rest, n_th)
+            fn = rest // n_th
+            cb = (fn * n_samples + sii) * 8
+            a = coeffs_ref[cb + 0]
+            b = coeffs_ref[cb + 1]
+            c = coeffs_ref[cb + 2]
+            d = coeffs_ref[cb + 3]
+            e = coeffs_ref[cb + 4]
+            f = coeffs_ref[cb + 5]
+            g = coeffs_ref[cb + 6]
+            h = coeffs_ref[cb + 7]
             y0f = (tyy * th).astype(jnp.float32)
             x0f = (txx * tw).astype(jnp.float32)
             bx_min = jnp.float32(lim)
@@ -240,7 +258,7 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w, pad_y, pad_x,
             org[slot, 3] = ox_c
 
         def dma_for(tid, slot):
-            fn = tid // (n_th * n_tw)
+            fn = tid // tiles_per_frame
             oy_t = pl.multiple_of(org[slot, 0], 8)
             ox_t = pl.multiple_of(org[slot, 1], 128)
             return pltpu.make_async_copy(
@@ -266,7 +284,7 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w, pad_y, pad_x,
         ox_al = org[cur, 1]
         oy_p = org[cur, 2]
         ox_c = org[cur, 3]
-        ry = oy_p - oy_al          # 0..7 row residual (dynamic slices)
+        ry = oy_p - oy_al          # 0..7 sublane-roll amount
         rx = ox_c - ox_al          # signed lane-roll amount
 
         ylo = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
@@ -274,14 +292,15 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w, pad_y, pad_x,
         ygf = ylo + (ty * th).astype(jnp.float32)
         xgf = xlo + (tx * tw).astype(jnp.float32)
 
-        a = coeffs_ref[n * 8 + 0]
-        b = coeffs_ref[n * 8 + 1]
-        c = coeffs_ref[n * 8 + 2]
-        d = coeffs_ref[n * 8 + 3]
-        e = coeffs_ref[n * 8 + 4]
-        f = coeffs_ref[n * 8 + 5]
-        g = coeffs_ref[n * 8 + 6]
-        h = coeffs_ref[n * 8 + 7]
+        cb = (n * n_samples + si) * 8
+        a = coeffs_ref[cb + 0]
+        b = coeffs_ref[cb + 1]
+        c = coeffs_ref[cb + 2]
+        d = coeffs_ref[cb + 3]
+        e = coeffs_ref[cb + 4]
+        f = coeffs_ref[cb + 5]
+        g = coeffs_ref[cb + 6]
+        h = coeffs_ref[cb + 7]
 
         denom = 1.0 + g * xgf + h * ygf
         safe = denom != 0.0
@@ -298,13 +317,11 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w, pad_y, pad_x,
         ix = (xgf + fdx).astype(jnp.int32)
         iy = (ygf + fdy).astype(jnp.int32)
         # tap window-offsets relative to the CONCEPTUAL origin: in [1, k)
-        # by the plan bound, independent of clamping/alignment
+        # by the plan bound, independent of clamping/alignment.  Both
+        # residuals (ry rows, rx columns) are rolled away below, so the
+        # offsets index the rolled window directly.
         ex = (tx * tw) + fdx.astype(jnp.int32) + tap_start + pad_x - ox_c
-        # row offsets are relative to the ALIGNED origin: the 0..7
-        # residual `ry` rides along in ey, and the tap loop below runs
-        # k+8 statically-sliced iterations of which only the k inside
-        # [ry, ry+k) execute (scalar pl.when guard)
-        ey = (ty * th) + fdy.astype(jnp.int32) + tap_start + pad_y - oy_al
+        ey = (ty * th) + fdy.astype(jnp.int32) + tap_start + pad_y - oy_p
 
         if interp == "bicubic":
             wx_tap = [_cubic_w(fx, i) for i in range(4)]
@@ -313,49 +330,64 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w, pad_y, pad_x,
             wx_tap = [1.0 - fx, fx]
             wy_tap = [1.0 - fy, fy]
 
-        def axis_weights(e0, base, size, w_tap, kk):
-            # weight of window-offset `kk` = sum over taps landing there
-            out = None
+        def axis_weights(e0, base, size, w_tap):
+            # weight mass landing on each window offset kk in [0, k);
+            # out-of-image taps are zeroed once (per tap, not per kk)
+            masked = []
             for t in range(taps):
                 tap_coord = base + tap_start + t
                 val = (tap_coord >= 0) & (tap_coord <= size - 1)
-                m = jnp.where((e0 + t == kk) & val, w_tap[t], 0.0)
-                out = m if out is None else out + m
-            return out
+                masked.append(jnp.where(val, w_tap[t], 0.0))
+            ws = []
+            for kk in range(k):
+                out = None
+                for t in range(taps):
+                    m = jnp.where(e0 + t == kk, masked[t], 0.0)
+                    out = m if out is None else out + m
+                ws.append(out)
+            return ws
 
         dma_for(tile_id, cur).wait()
 
-        # ONE dynamic lane roll removes the column residual; the 0..7
-        # row residual is NOT rolled (Mosaic dynamic sublane slices need
-        # 8-alignment): instead the row-tap loop spans k+8 static-slice
-        # iterations, of which only the k inside [ry, ry+k) execute —
-        # the pl.when guard is a scalar branch, so skipped iterations
-        # are free.  Accumulators live in VMEM scratch so the guarded
-        # blocks can update them by reference.
+        # Two dynamic rolls remove both residuals (lane roll for the
+        # 0..127 column residual, sublane roll for the 0..7 row
+        # residual), so the tap loop below runs exactly k static-slice
+        # iterations with no guards and accumulates in vregs.  Clamped
+        # (image-edge) origins never have valid taps (pad_y == wh), so
+        # their garbage window contents carry zero weight.
         for ch in range(channels):
-            rolled[ch] = pltpu.roll(win[cur, ch], -rx, 1)
+            rolled[ch] = pltpu.roll(pltpu.roll(win[cur, ch], -rx, 1), -ry, 0)
 
-        wxs = [axis_weights(ex, ix, in_w, wx_tap, kx) for kx in range(k)]
-        acc[...] = jnp.zeros((channels + 1, th, tw), jnp.float32)
-        for kyo in range(k + 8):
-
-            @pl.when((kyo >= ry) & (kyo < ry + k))
-            def _(kyo=kyo):
-                wy = axis_weights(ey, iy, in_h, wy_tap, kyo)
-                wsum_p = acc[channels]
-                accs_p = [acc[ch] for ch in range(channels)]
-                for kx in range(k):
-                    wgt = wy * wxs[kx]
-                    wsum_p = wsum_p + wgt
-                    for ch in range(channels):
-                        accs_p[ch] = accs_p[ch] + wgt * rolled[ch, kyo : kyo + th, kx : kx + tw]
-                acc[channels] = wsum_p
+        wxs = axis_weights(ex, ix, in_w, wx_tap)
+        wys = axis_weights(ey, iy, in_h, wy_tap)
+        accs = [None] * channels
+        for kyo in range(k):
+            rows = [None] * channels
+            for kx in range(k):
                 for ch in range(channels):
-                    acc[ch] = accs_p[ch]
+                    v = wxs[kx] * rolled[ch, kyo : kyo + th, kx : kx + tw]
+                    rows[ch] = v if rows[ch] is None else rows[ch] + v
+            for ch in range(channels):
+                v = wys[kyo] * rows[ch]
+                accs[ch] = v if accs[ch] is None else accs[ch] + v
 
-        wsum = acc[channels]
+        sx = functools.reduce(lambda p, q: p + q, wxs)
+        sy = functools.reduce(lambda p, q: p + q, wys)
+        wsum = sy * sx
         for ch in range(channels):
-            out_ref[0, ch] = acc[ch] + border_ref[ch] * (1.0 - wsum)
+            res = accs[ch] + border_ref[ch] * (1.0 - wsum)
+            if n_samples == 1:
+                out_ref[0, ch] = res
+            else:
+                # sample axis is innermost: the output tile stays
+                # resident in VMEM across the S revisits
+                @pl.when(si == 0)
+                def _(ch=ch, res=res):
+                    out_ref[0, ch] = res
+
+                @pl.when(si > 0)
+                def _(ch=ch, res=res):
+                    out_ref[0, ch] = out_ref[0, ch] + res
 
     return kernel
 
@@ -373,6 +405,25 @@ def _warp_pallas_call(
 ):
     # layout conversion + padding run ON DEVICE inside this jit: the
     # wrapper receives NHWC frames that never leave the chip.
+    out = _pallas_warp_core(
+        frames_nhwc, coeffs32, border, n_samples=1,
+        th=th, tw=tw, wh=wh, ww=ww, k=k, n_th=n_th, n_tw=n_tw,
+        in_h=in_h, in_w=in_w, pad_y=pad_y, pad_x=pad_x,
+        channels=channels, interp=interp, affine=affine,
+        interpret=interpret,
+    )
+    return jnp.transpose(out[:, :, :out_h, :out_w], (0, 2, 3, 1))
+
+
+def _pallas_warp_core(
+    frames_nhwc, coeffs32, border, *, n_samples,
+    th, tw, wh, ww, k, n_th, n_tw, in_h, in_w,
+    pad_y, pad_x, channels, interp, affine, interpret,
+):
+    """Shared pallas_call: grid (N, n_th, n_tw, S), planar padded output.
+
+    For n_samples > 1 the output tile accumulates the S sample warps in
+    VMEM (the caller divides by S)."""
     planar_padded = jnp.pad(
         jnp.transpose(frames_nhwc, (0, 3, 1, 2)),
         ((0, 0), (0, 0), (pad_y, pad_y), (pad_x, pad_x)),
@@ -380,12 +431,12 @@ def _warp_pallas_call(
     n = planar_padded.shape[0]
     kernel = _make_kernel(
         th=th, tw=tw, wh=wh, ww=ww, k=k, n_th=n_th, n_tw=n_tw,
-        in_h=in_h, in_w=in_w, pad_y=pad_y, pad_x=pad_x,
+        n_samples=n_samples, in_h=in_h, in_w=in_w, pad_y=pad_y, pad_x=pad_x,
         channels=channels, interp=interp, affine=affine,
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(n, n_th, n_tw),
+        grid=(n, n_th, n_tw, n_samples),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
@@ -393,83 +444,47 @@ def _warp_pallas_call(
         ],
         out_specs=pl.BlockSpec(
             (1, channels, th, tw),
-            lambda i, j, kk: (i, 0, j, kk),
+            lambda i, j, kk, ss: (i, 0, j, kk),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, channels, wh, ww), jnp.float32),
             pltpu.VMEM((channels, wh, ww), jnp.float32),
-            pltpu.VMEM((channels + 1, th, tw), jnp.float32),
             pltpu.SMEM((2, 4), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=jax.ShapeDtypeStruct((n, channels, n_th * th, n_tw * tw), jnp.float32),
         interpret=interpret,
     )(coeffs32, border, planar_padded)
-    return jnp.transpose(out[:, :, :out_h, :out_w], (0, 2, 3, 1))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("out_h", "out_w", "th", "tw", "wh", "ww", "k",
                      "n_th", "n_tw", "in_h", "in_w", "pad_y", "pad_x",
-                     "channels", "interp", "affine", "interpret"),
+                     "channels", "interp", "affine", "n_samples", "interpret"),
 )
 def _warp_blur_pallas_call(
     frames_nhwc, coeffs32_s, border, *,
     out_h, out_w, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w,
-    pad_y, pad_x, channels, interp, affine, interpret=False,
+    pad_y, pad_x, channels, interp, affine, n_samples, interpret=False,
 ):
-    """Shutter-blur fast path: ONE layout pass + a lax.scan over the S
-    shutter samples, each running the SAME compiled warp kernel and
-    accumulating the planar output on device.
+    """Shutter-blur fast path: ONE pallas_call with the shutter-sample
+    index as the innermost grid axis.
 
-    Replaces S independent warp_clip dispatches (each paying its own
-    NHWC<->planar transposes, pad, and accumulation pass — VERDICT #10).
-    coeffs32_s: (S, N*8) float32.
+    The output tile stays resident in VMEM across its S revisits and is
+    written back to HBM exactly once — versus the round-2 scan of S
+    whole-clip warps, which paid S full output read+write round-trips
+    (and a 211 s cold compile for Ultra).  coeffs32_s: (N*S*8,) float32,
+    sample-minor.
     """
-    planar_padded = jnp.pad(
-        jnp.transpose(frames_nhwc, (0, 3, 1, 2)),
-        ((0, 0), (0, 0), (pad_y, pad_y), (pad_x, pad_x)),
-    )
-    n = planar_padded.shape[0]
-    kernel = _make_kernel(
+    s = n_samples
+    acc = _pallas_warp_core(
+        frames_nhwc, coeffs32_s, border, n_samples=s,
         th=th, tw=tw, wh=wh, ww=ww, k=k, n_th=n_th, n_tw=n_tw,
         in_h=in_h, in_w=in_w, pad_y=pad_y, pad_x=pad_x,
         channels=channels, interp=interp, affine=affine,
-    )
-
-    call = functools.partial(
-        pl.pallas_call,
-        kernel,
-        grid=(n, n_th, n_tw),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, channels, th, tw),
-            lambda i, j, kk: (i, 0, j, kk),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, channels, wh, ww), jnp.float32),
-            pltpu.VMEM((channels, wh, ww), jnp.float32),
-            pltpu.VMEM((channels + 1, th, tw), jnp.float32),
-            pltpu.SMEM((2, 4), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        out_shape=jax.ShapeDtypeStruct((n, channels, n_th * th, n_tw * tw), jnp.float32),
         interpret=interpret,
-    )()
-
-    s = coeffs32_s.shape[0]
-
-    def body(acc, coeffs_one):
-        out = call(coeffs_one, border, planar_padded)
-        return acc + out, None
-
-    acc0 = jnp.zeros((n, channels, n_th * th, n_tw * tw), jnp.float32)
-    acc, _ = jax.lax.scan(body, acc0, coeffs32_s)
+    )
     acc = acc * (1.0 / s)
     return jnp.transpose(acc[:, :, :out_h, :out_w], (0, 2, 3, 1))
 
@@ -498,11 +513,11 @@ def warp_clip_blur_pallas(
     plan = _plan(flat, out_h, out_w, in_h, in_w, cubic=(interp == "bicubic"))
     if plan is None:
         return None
-    # (S, N*8): scan axis leads, kernel sees one sample's N coeff rows
-    coeffs_s = np.transpose(sample_coeffs, (1, 0, 2)).reshape(s, n * 8)
+    # sample-minor flat layout: coeff row (fn * S + si) is frame fn,
+    # shutter sample si — matching the kernel's grid decomposition
     return _warp_blur_pallas_call(
         jnp.asarray(frames, jnp.float32),
-        jnp.asarray(coeffs_s, jnp.float32),
+        jnp.asarray(flat, jnp.float32).reshape(-1),
         jnp.asarray(border, jnp.float32),
         out_h=out_h, out_w=out_w, th=plan["th"], tw=plan["tw"],
         wh=plan["wh"], ww=plan["ww"], k=plan["k"],
@@ -510,7 +525,7 @@ def warp_clip_blur_pallas(
         in_h=in_h, in_w=in_w,
         pad_y=plan["pad_y"], pad_x=plan["pad_x"],
         channels=channels, interp=interp, affine=plan["affine"],
-        interpret=interpret,
+        n_samples=s, interpret=interpret,
     )
 
 

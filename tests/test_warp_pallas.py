@@ -96,6 +96,28 @@ def test_pallas_rejects_wild_warp():
     assert out is None  # displacement span exceeds the largest K variant
 
 
+@pytest.mark.parametrize("interp", ["bilinear", "bicubic"])
+def test_pallas_large_translation_clamp_band(interp):
+    """Origin-clamp regression: translations that push the source window
+    against the padded image edge must not drop valid edge taps.
+
+    With the old pad_y < wh geometry, a pure +dy translation of
+    120..127 px on a 128-row clip engaged the bottom origin clamp while
+    valid taps remained, replacing up to ~1024 pixels with border color
+    (advisor round-2 finding).  pad_y == wh restores the invariant.
+    """
+    frames = _frames(n=1, h=128, w=256, seed=7)
+    h, w = frames.shape[1:3]
+    for dy in (120, 123, 125, 127, -123, -127):
+        m = np.eye(3)
+        m[1, 2] = float(dy)
+        mats = m[None]
+        ours, ref = _run_both(frames, mats, (w, h), interp, (0.5, 0.25, 0.125))
+        np.testing.assert_allclose(
+            ours, ref, atol=2e-6,
+            err_msg=f"clamp-band mismatch at dy={dy} interp={interp}")
+
+
 def test_pallas_blur_matches_xla_blur():
     """Fused shutter-blur scan == per-sample XLA warps averaged."""
     frames = _frames(n=2, h=96, w=160)
