@@ -128,17 +128,24 @@ def _ransac_single(key, p, q, valid, model: str, n_hyp: int, thresh: float):
     m = 2 if model == "similarity" else 4
     vcount = valid.sum()
 
-    # Sample minimal sets over the RAW point array (no valid-first
-    # compaction: the argsort + two (P,2) gathers it needed are slow on
-    # TPU).  A hypothesis that drew any invalid point is zeroed-weight
-    # below — statistically negligible while the invalid fraction is
-    # small, and a mostly-invalid pair is already degeneracy-gated by
-    # the caller (MIN_VALID).
+    # Sample minimal sets over the VALID points only.  Raw-index
+    # sampling kept just f^m of the hypothesis budget at valid
+    # fraction f (the classic path pads tracks to max_corners with
+    # status=false, so f can be 0.25 on hard frames -> ~2 surviving
+    # perspective hypotheses out of 512).  Instead of a sort-based
+    # compaction (slow on TPU), invert the exclusive-prefix-sum rank
+    # of each valid point with one scatter, then draw ranks in
+    # [0, vcount): every hypothesis lands on valid points.
+    ranks = jnp.cumsum(valid) - valid.astype(jnp.int32)     # exclusive ranks
+    lookup = jnp.zeros((P,), jnp.int32).at[jnp.where(valid, ranks, P)].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop")
     u = jax.random.uniform(key, (n_hyp, m))
-    idx = jnp.minimum((u * P).astype(jnp.int32), P - 1)
+    denom = jnp.maximum(vcount, 1)
+    r = jnp.minimum((u * denom).astype(jnp.int32), denom - 1)
+    idx = lookup[r]
     ps = p[idx]                                  # (K, m, 2)
     qs = q[idx]
-    draw_ok = valid[idx].all(axis=1)             # (K,)
+    draw_ok = valid[idx].all(axis=1) & (vcount >= m)        # (K,)
 
     solver = _solve_similarity_2pt if model == "similarity" else _solve_homography_4pt
     hyps = jax.vmap(solver)(ps, qs)              # (K, 3, 3)
