@@ -44,14 +44,6 @@ def _grid_points(h: int, w: int, step: int) -> jax.Array:
     return jax.device_put(pts)  # cached device constant: no per-clip upload
 
 
-@functools.partial(jax.jit, static_argnames=("want_persp", "n_hyp", "step"))
-def _fused_fits(flow, pts, seed, want_persp, n_hyp, step):
-    """Grid sampling of a dense flow + :func:`_fused_fits_sampled`."""
-    b = flow.shape[0]
-    samples = flow[:, ::step, ::step, :].reshape(b, -1, 2)
-    return _fused_fits_sampled(samples, pts, seed, want_persp, n_hyp)
-
-
 @functools.partial(jax.jit, static_argnames=("want_persp", "n_hyp"))
 def _fused_fits_sampled(samples, pts, seed, want_persp, n_hyp):
     """Every robust fit + diagnostics as ONE device program.

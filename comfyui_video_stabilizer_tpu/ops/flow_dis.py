@@ -449,13 +449,6 @@ def _compose_flow(M: jnp.ndarray, residual: jnp.ndarray) -> jnp.ndarray:
     return residual + jnp.stack([gx, gy], axis=-1)
 
 
-def _scale_matrix(M: np.ndarray, factor: float) -> np.ndarray:
-    """Rescale a similarity to a pyramid level: S M S^-1."""
-    S = np.diag([factor, factor, 1.0])
-    Sinv = np.diag([1.0 / factor, 1.0 / factor, 1.0])
-    return (S @ M @ Sinv).astype(np.float64)
-
-
 def _warp_similarity_device(img: jnp.ndarray, M: jnp.ndarray, pad_t: int, radius: int) -> jnp.ndarray:
     """In-graph pre-warp of (B, H, W) by per-frame global matrices
     (similarity or full homography — the projective row is honored).
@@ -731,9 +724,9 @@ def _dis_flow_fit_fused(grays, coarsest, finest, radius, patch, refine_rounds,
     and statistically equivalent for the fit: per-sample noise (~0.12px)
     averages out over the ~8k grid points.
 
-    Returns (samples (B, P, 2) in WORKING-res px units, valid (B, P)).
-    The grid rows/cols are ``arange(0, h, step)`` at working res, i.e.
-    exactly models/flow._grid_points(h, w, step).
+    Returns samples (B, P, 2) in WORKING-res px units.  The grid
+    rows/cols are ``arange(0, h, step)`` at working res, i.e. exactly
+    models/flow._grid_points(h, w, step).
     """
     flow_level, conf_level, M, pyr_I, _ = _dis_levels(
         grays, coarsest, finest, radius, patch, refine_rounds, model, lk_mid=True
@@ -807,10 +800,3 @@ def dis_flow_fit(
     # sub-pixel, well inside +-2.
     return _dis_flow_fit_fused(grays, coarsest, finest, min(radius, 2), patch, 2,
                                model, step)
-
-
-def _scale_matrix_batch(M: np.ndarray, factor: float) -> np.ndarray:
-    out = np.empty_like(M)
-    for i in range(M.shape[0]):
-        out[i] = _scale_matrix(M[i], factor)
-    return out

@@ -6,7 +6,7 @@ spectrum peak with 5x5 weighted-centroid subpixel refinement; the
 response is the correlation peak energy fraction, used directly as the
 confidence.  Sign convention matches cv2: the returned shift maps
 src1 -> src2 (curr = shift(prev)), verified against the oracle in
-tests/test_estimation.py.
+tests/test_flow.py.
 """
 
 from __future__ import annotations

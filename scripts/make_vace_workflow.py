@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
-"""Generate the Wan2.1-VACE outpainting example workflow.
+"""Generate the Wan-VACE outpainting example workflows.
 
-Mirrors the full node graph of the reference example
-(/root/reference/example_workflows/Wan2.1_VACE_outpainting_VideoStabilizer.json):
-load video -> scale -> video_stabilizer_flow (crop_and_pad) -> resize
-frames+padding mask -> GrowMask -> WanVaceToVideo outpaint -> KSampler ->
-VAEDecode -> VideoCombine, with the stabilizer's padding_mask steering the
-VACE control masks.  Written as a generator so link bookkeeping stays
-consistent; the JSON artifact is committed alongside.
+Mirrors the node-graph shape of the two reference examples
+(/root/reference/example_workflows/Wan2.1_VACE_outpainting_VideoStabilizer.json
+and Wan2.2-VACE-Fun_outpainting_VideoStabilizer.json): load video ->
+scale -> video_stabilizer_flow (crop_and_pad) -> resize frames+padding
+mask -> GrowMask -> WanVaceToVideo outpaint -> sampling -> VAEDecode ->
+VideoCombine, with the stabilizer's padding_mask steering the VACE
+control masks.  The Wan2.1 variant samples with a single KSampler on
+the 14B VACE model; the Wan2.2-Fun variant runs the two-stage
+high-noise/low-noise VACE-Fun pair with chained KSamplerAdvanced
+nodes.  Written as a generator so link bookkeeping stays consistent;
+the JSON artifacts are committed alongside.
 """
 
 import json
@@ -42,8 +46,6 @@ def node(nid, ntype, pos, size, inputs, outputs, widgets=None, order=0, title=No
     return n
 
 
-
-
 def link(src, src_slot, dst, dst_slot, ltype):
     lid = len(LINKS) + 1
     LINKS.append([lid, src["id"], src_slot, dst["id"], dst_slot, ltype])
@@ -52,7 +54,10 @@ def link(src, src_slot, dst, dst_slot, ltype):
     return lid
 
 
-def main():
+def build(variant):
+    NODES.clear()
+    LINKS.clear()
+
     load = node(1, "VHS_LoadVideo", (-700, 0), (240, 300),
                 [("meta_batch", "VHS_BatchManager"), ("vae", "VAE")],
                 [("IMAGE", "IMAGE"), ("frame_count", "INT"), ("audio", "AUDIO"),
@@ -97,23 +102,99 @@ def main():
                 [("positive", "CONDITIONING"), ("negative", "CONDITIONING"),
                  ("trim_latent", "INT"), ("latent", "LATENT")],
                 [480, 832, 81, 1, 1])
-    unet = node(12, "UNETLoader", (-150, 850), (320, 90),
-                [], [("MODEL", "MODEL")],
-                ["wan2.1_vace_14B_fp16.safetensors", "default"])
-    msd3 = node(13, "ModelSamplingSD3", (210, 850), (240, 70),
-                [("model", "MODEL")], [("MODEL", "MODEL")], [8])
-    tam = node(14, "UNetTemporalAttentionMultiply", (480, 850), (260, 130),
-               [("model", "MODEL")], [("MODEL", "MODEL")], [1, 1, 1.1, 1])
-    cfg0 = node(15, "CFGZeroStar", (770, 850), (210, 60),
-                [("model", "MODEL")], [("MODEL", "MODEL")])
-    ks = node(16, "KSampler", (870, 420), (270, 280),
-              [("model", "MODEL"), ("positive", "CONDITIONING"),
-               ("negative", "CONDITIONING"), ("latent_image", "LATENT")],
-              [("LATENT", "LATENT")],
-              [3, "fixed", 4, 1, "uni_pc", "simple", 1])
-    decode = node(17, "VAEDecode", (1170, 420), (190, 70),
+
+    if variant == "wan21":
+        unet = node(12, "UNETLoader", (-150, 850), (320, 90),
+                    [], [("MODEL", "MODEL")],
+                    ["wan2.1_vace_14B_fp16.safetensors", "default"])
+        msd3 = node(13, "ModelSamplingSD3", (210, 850), (240, 70),
+                    [("model", "MODEL")], [("MODEL", "MODEL")], [8])
+        tam = node(14, "UNetTemporalAttentionMultiply", (480, 850), (260, 130),
+                   [("model", "MODEL")], [("MODEL", "MODEL")], [1, 1, 1.1, 1])
+        cfg0 = node(15, "CFGZeroStar", (770, 850), (210, 60),
+                    [("model", "MODEL")], [("MODEL", "MODEL")])
+        ks = node(16, "KSampler", (870, 420), (270, 280),
+                  [("model", "MODEL"), ("positive", "CONDITIONING"),
+                   ("negative", "CONDITIONING"), ("latent_image", "LATENT")],
+                  [("LATENT", "LATENT")],
+                  [3, "fixed", 4, 1, "uni_pc", "simple", 1])
+        decode_id, combine_id, note_id = 17, 18, 19
+        link(unet, 0, msd3, 0, "MODEL")
+        link(msd3, 0, tam, 0, "MODEL")
+        link(tam, 0, cfg0, 0, "MODEL")
+        link(cfg0, 0, ks, 0, "MODEL")
+        link(vace, 0, ks, 1, "CONDITIONING")
+        link(vace, 1, ks, 2, "CONDITIONING")
+        link(vace, 3, ks, 3, "LATENT")
+        sampler_out = ks
+        note_text = (
+            "## Stabilize + VACE outpainting (Wan2.1)\n\n"
+            "`video_stabilizer_flow` in **crop_and_pad** framing keeps the\n"
+            "full field of view and emits a `padding_mask` marking the\n"
+            "empty border it introduced.  The mask (grown by 5 px) drives\n"
+            "Wan2.1-VACE outpainting so the model fills exactly the\n"
+            "stabilization padding.  Attach `meta.motion_meta` to\n"
+            "`video_stabilizer_motion_apply` afterwards to re-impose or\n"
+            "invert the motion on the outpainted frames."
+        )
+        wf_id = "cvst-tpu-wan21-vace-outpaint"
+        fname = "Wan2.1_VACE_outpainting_VideoStabilizer.json"
+    else:
+        # Wan2.2-Fun: high-noise model samples steps 0..4, the low-noise
+        # model takes over for the remainder (chained KSamplerAdvanced,
+        # leftover noise passed through)
+        unet_hi = node(12, "UNETLoader", (-150, 850), (340, 90),
+                       [], [("MODEL", "MODEL")],
+                       ["wan2.2_fun_vace_high_noise_14B_fp8_scaled.safetensors",
+                        "fp8_e4m3fn"], title="Load High-Noise Model")
+        unet_lo = node(13, "UNETLoader", (-150, 970), (340, 90),
+                       [], [("MODEL", "MODEL")],
+                       ["wan2.2_fun_vace_low_noise_14B_fp8_scaled.safetensors",
+                        "fp8_e4m3fn"], title="Load Low-Noise Model")
+        msd3_hi = node(14, "ModelSamplingSD3", (230, 850), (240, 70),
+                       [("model", "MODEL")], [("MODEL", "MODEL")], [8])
+        msd3_lo = node(15, "ModelSamplingSD3", (230, 970), (240, 70),
+                       [("model", "MODEL")], [("MODEL", "MODEL")], [8])
+        ks_hi = node(16, "KSamplerAdvanced", (870, 420), (280, 320),
+                     [("model", "MODEL"), ("positive", "CONDITIONING"),
+                      ("negative", "CONDITIONING"), ("latent_image", "LATENT")],
+                     [("LATENT", "LATENT")],
+                     ["enable", 3, "fixed", 20, 4, "euler", "simple", 0, 4,
+                      "enable"], title="KSampler (High Noise, steps 0-4)")
+        ks_lo = node(17, "KSamplerAdvanced", (1180, 420), (280, 320),
+                     [("model", "MODEL"), ("positive", "CONDITIONING"),
+                      ("negative", "CONDITIONING"), ("latent_image", "LATENT")],
+                     [("LATENT", "LATENT")],
+                     ["disable", 0, "fixed", 20, 3, "euler", "simple", 4, 9999,
+                      "disable"], title="KSampler (Low Noise, steps 4+)")
+        decode_id, combine_id, note_id = 18, 19, 20
+        link(unet_hi, 0, msd3_hi, 0, "MODEL")
+        link(unet_lo, 0, msd3_lo, 0, "MODEL")
+        link(msd3_hi, 0, ks_hi, 0, "MODEL")
+        link(msd3_lo, 0, ks_lo, 0, "MODEL")
+        link(vace, 0, ks_hi, 1, "CONDITIONING")
+        link(vace, 1, ks_hi, 2, "CONDITIONING")
+        link(vace, 3, ks_hi, 3, "LATENT")
+        link(vace, 0, ks_lo, 1, "CONDITIONING")
+        link(vace, 1, ks_lo, 2, "CONDITIONING")
+        link(ks_hi, 0, ks_lo, 3, "LATENT")
+        sampler_out = ks_lo
+        note_text = (
+            "## Stabilize + VACE-Fun outpainting (Wan2.2)\n\n"
+            "Same stabilize -> mask -> outpaint recipe as the Wan2.1\n"
+            "workflow, sampled with the Wan2.2-Fun high-noise/low-noise\n"
+            "model pair: the high-noise VACE model runs the first 4\n"
+            "steps, the low-noise model finishes the schedule (leftover\n"
+            "noise chained through KSamplerAdvanced).  The stabilizer's\n"
+            "`padding_mask` (grown by 5 px) again tells VACE exactly\n"
+            "which border pixels to synthesize."
+        )
+        wf_id = "cvst-tpu-wan22-fun-vace-outpaint"
+        fname = "Wan2.2-VACE-Fun_outpainting_VideoStabilizer.json"
+
+    decode = node(decode_id, "VAEDecode", (1500, 420), (190, 70),
                   [("samples", "LATENT"), ("vae", "VAE")], [("IMAGE", "IMAGE")])
-    combine = node(18, "VHS_VideoCombine", (1390, 420), (300, 320),
+    combine = node(combine_id, "VHS_VideoCombine", (1720, 420), (300, 320),
                    [("images", "IMAGE"), ("audio", "AUDIO"),
                     ("meta_batch", "VHS_BatchManager"), ("vae", "VAE")],
                    [("Filenames", "VHS_FILENAMES")],
@@ -121,16 +202,8 @@ def main():
                     "filename_prefix": "stabilized_outpaint", "format": "video/h264-mp4",
                     "pix_fmt": "yuv420p", "crf": 19, "save_metadata": True,
                     "trim_to_audio": False, "pingpong": False, "save_output": True})
-    note = node(19, "MarkdownNote", (-700, 420), (480, 330), [], [],
-                ["## Stabilize + VACE outpainting\n\n"
-                 "`video_stabilizer_flow` in **crop_and_pad** framing keeps the\n"
-                 "full field of view and emits a `padding_mask` marking the\n"
-                 "empty border it introduced.  The mask (grown by 5 px) drives\n"
-                 "Wan2.1-VACE outpainting so the model fills exactly the\n"
-                 "stabilization padding.  Attach `meta.motion_meta` to\n"
-                 "`video_stabilizer_motion_apply` afterwards to re-impose or\n"
-                 "invert the motion on the outpainted frames."],
-                title="About this workflow")
+    node(note_id, "MarkdownNote", (-700, 420), (480, 330), [], [],
+         [note_text], title="About this workflow")
 
     link(load, 0, scale, 0, "IMAGE")
     link(scale, 0, stab, 0, "IMAGE")
@@ -147,14 +220,7 @@ def main():
     link(pos, 0, vace, 0, "CONDITIONING")
     link(neg, 0, vace, 1, "CONDITIONING")
     link(vae_loader, 0, vace, 2, "VAE")
-    link(unet, 0, msd3, 0, "MODEL")
-    link(msd3, 0, tam, 0, "MODEL")
-    link(tam, 0, cfg0, 0, "MODEL")
-    link(cfg0, 0, ks, 0, "MODEL")
-    link(vace, 0, ks, 1, "CONDITIONING")
-    link(vace, 1, ks, 2, "CONDITIONING")
-    link(vace, 3, ks, 3, "LATENT")
-    link(ks, 0, decode, 0, "LATENT")
+    link(sampler_out, 0, decode, 0, "LATENT")
     link(vae_loader, 0, decode, 1, "VAE")
     link(decode, 0, combine, 0, "IMAGE")
 
@@ -162,22 +228,26 @@ def main():
         n["order"] = order
 
     doc = {
-        "id": "cvst-tpu-wan21-vace-outpaint",
+        "id": wf_id,
         "revision": 0,
         "last_node_id": max(n["id"] for n in NODES),
         "last_link_id": len(LINKS),
-        "nodes": NODES,
-        "links": LINKS,
+        "nodes": [dict(n) for n in NODES],
+        "links": list(LINKS),
         "groups": [],
         "config": {},
         "extra": {},
         "version": 0.4,
     }
-    out = os.path.join(os.path.dirname(__file__), os.pardir, "example_workflows",
-                       "Wan2.1_VACE_outpainting_VideoStabilizer.json")
+    out = os.path.join(os.path.dirname(__file__), os.pardir, "example_workflows", fname)
     with open(os.path.abspath(out), "w") as f:
         json.dump(doc, f, indent=2)
     print("wrote", os.path.abspath(out))
+
+
+def main():
+    build("wan21")
+    build("wan22fun")
 
 
 if __name__ == "__main__":

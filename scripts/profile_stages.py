@@ -35,7 +35,7 @@ def main():
     from bench import synth_clip_device
     from comfyui_video_stabilizer_tpu.models import geometry as G
     from comfyui_video_stabilizer_tpu.models.flow import (
-        _fused_fits,
+        _fused_fits_sampled,
         _grid_points,
         flow_estimator,
         stabilize_flow,
@@ -83,7 +83,10 @@ def main():
     pts = _grid_points(int(h), int(w), 8)
 
     def fits_only():
-        return jax.device_get(_fused_fits(flow, pts, 0, False, RS.DEFAULT_HYPOTHESES, 8))
+        b = flow.shape[0]
+        samples = flow[:, ::8, ::8, :].reshape(b, -1, 2)
+        return jax.device_get(
+            _fused_fits_sampled(samples, pts, 0, False, RS.DEFAULT_HYPOTHESES))
 
     def estimator_only():
         flow_estimator(np.asarray(grays) if False else grays, "similarity")
