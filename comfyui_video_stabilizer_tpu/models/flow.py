@@ -80,9 +80,33 @@ def _fused_fits_sampled(samples, pts, seed, want_persp, n_hyp):
     return tuple(out)
 
 
-def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> PairFits:
+def _gray_decimation(width: int, height: int, working_size) -> int:
+    """Decimation factor the fit path can absorb into gray production.
+
+    The fit-grid solve never reads pyramid levels finer than
+    working-res / 2**FINEST_SCALE (ops/flow_dis.py), so when the
+    working resize is an exact box factor the engine can hand the
+    estimator quarter-working-res grays directly — one fused
+    gray+pool pass instead of a working-res gray plus two unread
+    pyramid levels (~0.5 GB of HBM traffic on a 96-frame 1080p clip).
+    """
+    from ..ops.resize import can_decimate
+
+    dec = 1 << FD.FINEST_SCALE
+    if SAMPLE_STEP % dec:
+        return 1
+    tw, th = working_size if working_size is not None else (int(width), int(height))
+    if FD.num_levels(th, tw) < FD.FINEST_SCALE:
+        return 1
+    return dec if can_decimate(width, height, working_size, dec) else 1
+
+
+def flow_estimator(
+    grays: np.ndarray, requested_mode: str, *, seed: int = 0, decimation: int = 1
+) -> PairFits:
     n, h, w = grays.shape
     b = n - 1
+    h_work, w_work = h * decimation, w * decimation
     extra: Dict[str, object] = {"flow_backend": "DIS", "flow_fallback_reason": None}
 
     want_persp = requested_mode == "perspective"
@@ -92,10 +116,18 @@ def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> 
         # level warps, not just the +-radius residual window.  The fit
         # path samples the finest DIS level directly (no polish /
         # full-res upsample — see ops/flow_dis._dis_flow_fit_fused).
+        # Pre-decimated grays (see _gray_decimation) enter the solve at
+        # what would be its finest level; finest_scale=0 keeps every
+        # physical level identical to the undecimated solve.
         samples = FD.dis_flow_fit(
-            grays, SAMPLE_STEP, model="homography" if want_persp else "similarity"
+            grays,
+            SAMPLE_STEP // decimation,
+            finest_scale=0 if decimation > 1 else FD.FINEST_SCALE,
+            model="homography" if want_persp else "similarity",
         )
-        pts = _grid_points(h, w, SAMPLE_STEP)
+        if decimation > 1:
+            samples = samples * float(decimation)  # back to working px units
+        pts = _grid_points(h_work, w_work, SAMPLE_STEP)
         fused = jax.device_get(
             _fused_fits_sampled(samples, pts, seed, want_persp, RS.DEFAULT_HYPOTHESES)
         )
@@ -106,6 +138,7 @@ def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> 
         }
         shifts, resp = PC.phase_correlate_batch(np.asarray(grays[:-1]), np.asarray(grays[1:]))
         mats = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+        shifts = shifts * float(decimation)
         mats[:, 0, 2] = shifts[:, 0]
         mats[:, 1, 2] = shifts[:, 1]
         return PairFits(
@@ -120,7 +153,10 @@ def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> 
     it = iter(fused)
     valid_counts = np.asarray(next(it))
     degenerate = valid_counts < MIN_VALID
-    total_pts = ((h + SAMPLE_STEP - 1) // SAMPLE_STEP) * ((w + SAMPLE_STEP - 1) // SAMPLE_STEP)
+    total_pts = (
+        ((h_work + SAMPLE_STEP - 1) // SAMPLE_STEP)
+        * ((w_work + SAMPLE_STEP - 1) // SAMPLE_STEP)
+    )
 
     matrices: Dict[str, np.ndarray] = {}
     confidences: Dict[str, np.ndarray] = {}
@@ -158,6 +194,10 @@ def flow_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> 
         residuals=residuals,
         extra_meta=extra,
     )
+
+
+# engine hook: stabilize_clip consults this to produce pre-decimated grays
+flow_estimator.gray_decimation = _gray_decimation
 
 
 def stabilize_flow(

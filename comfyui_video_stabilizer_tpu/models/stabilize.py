@@ -230,12 +230,18 @@ def stabilize_clip(
     # ---- estimation at working resolution (batched) ----
     timer = StageTimer()
     working_size = G.working_estimation_size(width, height)
+    dec_fn = getattr(estimator, "gray_decimation", None)
+    decimation = dec_fn(width, height, working_size) if dec_fn is not None else 1
     with timer.stage("grayscale_downscale"):
-        grays = R.gray_for_estimation(frames, working_size)
+        grays = R.gray_for_estimation(frames, working_size, decimation=decimation)
     base_mode = transform_mode
 
     with timer.stage("estimation"):
-        fits = estimator(grays, transform_mode)
+        fits = (
+            estimator(grays, transform_mode, decimation=decimation)
+            if decimation > 1
+            else estimator(grays, transform_mode)
+        )
     matrices, modes_used, confidences, residuals = sticky_select(transform_mode, fits)
     if working_size is not None:
         matrices = G.rescale_transforms_to_full(matrices, (width, height), working_size)
@@ -414,9 +420,9 @@ def stabilize_clip(
             # masks + per-frame stats are queued BEFORE the frame warp
             # (device streams run in dispatch order), so the stats
             # round-trip below overlaps the warp instead of following it
-            cover = W.coverage_mask(final_matrices, (width, height), output_size)
-            padding_masks = W.zero_small(1.0 - cover)
-            ratios_dev = padding_masks.reshape(total_frames, -1).mean(axis=1)
+            padding_masks, ratios_dev = W.padding_mask_stats(
+                final_matrices, (width, height), output_size
+            )
             stabilized = W.warp_clip(
                 frames, final_matrices, output_size, "bilinear", border
             )

@@ -123,10 +123,39 @@ def area_resize(stack, out_size: Tuple[int, int]) -> jnp.ndarray:
     return _area_resize_kernel(jnp.asarray(stack, jnp.float32), wr, wc)
 
 
+def can_decimate(
+    width: int, height: int, working_size: Tuple[int, int] | None, decimation: int
+) -> bool:
+    """True when the fused gray+pool path reproduces working-res gray
+    followed by ``log2(decimation)`` exact 2x area halvings.
+
+    Requires the working resize itself to be an integer box factor and
+    the working dims to be divisible by the decimation, so the single
+    fused box-mean equals the reference chain up to f32 reassociation.
+    """
+    if decimation <= 1:
+        return True
+    tw, th = working_size if working_size is not None else (int(width), int(height))
+    if int(width) % tw or int(height) % th:
+        return False
+    return th % decimation == 0 and tw % decimation == 0
+
+
 def gray_for_estimation(
-    frames, working_size: Tuple[int, int] | None, quantize: bool = True
+    frames,
+    working_size: Tuple[int, int] | None,
+    quantize: bool = True,
+    decimation: int = 1,
 ) -> jnp.ndarray:
     """Reference's _make_gray_for_estimation, batched: gray then area resize.
+
+    ``decimation`` > 1 additionally area-halves the working-res gray
+    log2(decimation) times IN the same fused pass — used by the flow
+    fit path, whose coarse-to-fine solve never reads pyramid levels
+    finer than working/4 (ops/flow_dis.py finest scale).  The caller
+    must have checked :func:`can_decimate`; this produces the same
+    values as pooling the working gray (modulo f32 reassociation)
+    without materializing the working-res intermediate.
 
     Clips too large for device memory (4K/300-frame class) stream
     through in time chunks; the downscaled grays are small and stay on
@@ -135,6 +164,12 @@ def gray_for_estimation(
     from .warp import CHUNK_BUDGET_BYTES
 
     n = frames.shape[0]
+    h_in, w_in = int(frames.shape[1]), int(frames.shape[2])
+    if decimation > 1:
+        assert can_decimate(w_in, h_in, working_size, decimation)
+        tw, th = working_size if working_size is not None else (w_in, h_in)
+        working_size = (tw // decimation, th // decimation)
+
     per_frame = frames.shape[1] * frames.shape[2] * 3 * 4 * 2
     chunk = max(1, min(n, CHUNK_BUDGET_BYTES // max(per_frame, 1)))
     if chunk >= n or not isinstance(frames, np.ndarray):

