@@ -240,6 +240,24 @@ def _coverage_xla(coeffs, out_h, out_w, in_h, in_w):
     return valid.astype(jnp.float32)
 
 
+def _mesh_frame_axis(n: int):
+    """Name of the active mesh axis the frame dim can shard over, or None.
+
+    The padding-stats program has no sharded INPUT (matrix coefficients
+    are tiny host values), so without an explicit constraint GSPMD
+    replicates its full-res output on every device of a production
+    mesh.  Resolved at trace time — jax.jit keys its cache on the
+    abstract mesh, so meshless runs trace a constraint-free program.
+    """
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or mesh.empty or "data" not in mesh.axis_names:
+            return None
+        return "data" if n % mesh.shape["data"] == 0 else None
+    except Exception:
+        return None
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "in_h", "in_w"))
 def _padding_stats_xla(coeffs, out_h, out_w, in_h, in_w):
     """Padding mask AND per-frame padded fraction as ONE program.
@@ -252,6 +270,11 @@ def _padding_stats_xla(coeffs, out_h, out_w, in_h, in_w):
     xn, yn = _nearest_coords(coeffs, out_h, out_w)
     inside = (xn >= 0) & (xn < in_w) & (yn >= 0) & (yn < in_h)
     mask = 1.0 - inside.astype(jnp.float32)
+    axis = _mesh_frame_axis(mask.shape[0])
+    if axis is not None:
+        from jax.sharding import PartitionSpec as P
+
+        mask = jax.lax.with_sharding_constraint(mask, P(axis, None, None))
     ratios = mask.reshape(mask.shape[0], -1).mean(axis=1)
     return mask, ratios
 

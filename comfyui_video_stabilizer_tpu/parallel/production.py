@@ -38,11 +38,27 @@ from ..models.stabilize import StabilizationResult
 from ..utils.video_io import FrameAdapter, VideoContext
 
 
+def input_partition_spec(mesh: Mesh, n: int, h: int) -> P:
+    """Frame-axis sharding when the clip divides the data axis; else
+    fall back to spatial (row) sharding, else replicate.
+
+    ``device_put`` rejects uneven shards, and padding the clip would
+    change estimation/smoothing semantics near the end — so a 9-frame
+    clip on an 8-way mesh partitions its ROWS instead (every per-pixel
+    stage still distributes; only the tiny per-pair reductions
+    replicate)."""
+    if n % int(mesh.shape["data"]) == 0:
+        return P("data", None, None, None)
+    if "spatial" in mesh.axis_names and h % int(mesh.shape["spatial"]) == 0:
+        return P(None, "spatial", None, None)
+    return P(None, None, None, None)
+
+
 def sharded_video_context(frames: np.ndarray, mesh: Mesh, fps: float = 16.0) -> VideoContext:
     """VideoContext whose frames are device_put sharded over the mesh."""
     frames = np.ascontiguousarray(frames, np.float32)
     n, h, w, c = frames.shape
-    sharded = jax.device_put(frames, NamedSharding(mesh, P("data", None, None, None)))
+    sharded = jax.device_put(frames, NamedSharding(mesh, input_partition_spec(mesh, n, h)))
     return VideoContext(
         frames=sharded,
         adapter=FrameAdapter(np.dtype(np.float32), False, "0_1", "numpy", False),
