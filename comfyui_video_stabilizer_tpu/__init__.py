@@ -32,6 +32,20 @@ from .meta.motion_meta import (  # noqa: F401
 )
 
 
+def apply_inverse_stabilization(*args, **kwargs):
+    """Exported legacy inverse engine (lazy: pulls in jax).
+
+    Mirror of the reference's ``__all__``-exported
+    ``_apply_inverse_stabilization`` (stabilizer_utils.py:27,929-1007),
+    whose consumer is the validation harness; the Inverse node routes
+    through Motion Apply by the 003:51 bit-exactness contract.  See
+    models/inverse.py for the full wiring-parity note.
+    """
+    from .models.inverse import apply_inverse_stabilization as _impl
+
+    return _impl(*args, **kwargs)
+
+
 async def comfy_entrypoint():
     """ComfyUI extension entrypoint (kept lazy: nodes import jax)."""
     from .nodes import comfy_entrypoint as _entry

@@ -5,6 +5,22 @@ exact per-frame matrices recorded in ``stabilization_warp``.  Behavior
 parity with /root/reference/nodes/stabilizer_utils.py:929-1007, but
 the N frame warps + N mask warps collapse into one batched warp call
 plus a closed-form coverage stack.
+
+Wiring parity note: the reference exports ``_apply_inverse_stabilization``
+in ``__all__`` (stabilizer_utils.py:27) but its ONLY consumer is the
+validation harness (scripts/check_inverse_stabilization.py:141,168);
+the Inverse NODE routes through Motion Apply instead
+(video_stabilizer_inverse.py:71-77), because requirement 003:51 pins
+the node bit-identical to Motion Apply on legacy meta.  This framework
+mirrors that shape exactly: ``apply_inverse_stabilization`` is the
+exported round-trip-accuracy engine driven by the validation suite
+(tests/test_motion_apply.py::test_inverse_roundtrip_accuracy and
+::test_legacy_inverse_engine_matches_inverse_node_path, our
+check_inverse_stabilization), while ``nodes/inverse_node.py`` keeps the
+contract-mandated Motion-Apply route.  Re-wiring the node here would
+break the reference's own bit-exactness contract (the engines agree to
+2e-5, not bit-for-bit — each inverts the float64 matrices at a
+different point of its pipeline).
 """
 
 from __future__ import annotations
