@@ -132,23 +132,46 @@ def flow_estimator(
             _fused_fits_sampled(samples, pts, seed, want_persp, RS.DEFAULT_HYPOTHESES)
         )
     except Exception as exc:  # degraded backend, mirrors reference chain
-        extra = {
-            "flow_backend": "phase_correlate",
-            "flow_fallback_reason": f"DIS unavailable ({exc}); using phase correlation.",
-        }
-        shifts, resp = PC.phase_correlate_batch(np.asarray(grays[:-1]), np.asarray(grays[1:]))
-        mats = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
-        shifts = shifts * float(decimation)
-        mats[:, 0, 2] = shifts[:, 0]
-        mats[:, 1, 2] = shifts[:, 1]
-        return PairFits(
-            degenerate=np.zeros(b, bool),
-            matrices={"translation": mats},
-            confidences={"translation": resp},
-            accepted={"translation": np.ones(b, bool)},
-            residuals={"translation": np.zeros(b)},
-            extra_meta=extra,
-        )
+        # middle tier: TV-L1 (reference: cv2.optflow.DualTVL1, only when
+        # importable — here a first-party JAX solver, ops/tvl1.py)
+        try:
+            from ..ops import tvl1 as TV
+
+            step_local = SAMPLE_STEP // decimation
+            flow_full, _conf = TV.tvl1_flow(grays)
+            samples = flow_full[:, ::step_local, ::step_local, :].reshape(b, -1, 2)
+            if decimation > 1:
+                samples = samples * float(decimation)
+            pts = _grid_points(h_work, w_work, SAMPLE_STEP)
+            fused = jax.device_get(
+                _fused_fits_sampled(samples, pts, seed, want_persp, RS.DEFAULT_HYPOTHESES)
+            )
+            extra = {
+                "flow_backend": "TVL1",
+                "flow_fallback_reason": f"DIS unavailable ({exc}); using TV-L1.",
+            }
+            exc = None
+        except Exception as exc2:
+            exc = f"{exc}; TV-L1 failed ({exc2})"
+        if exc is not None:  # last tier: translation-only phase correlate
+            extra = {
+                "flow_backend": "phase_correlate",
+                "flow_fallback_reason": f"DIS unavailable ({exc}); using phase correlation.",
+            }
+            shifts, resp = PC.phase_correlate_batch(np.asarray(grays[:-1]), np.asarray(grays[1:]))
+            mats = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+            shifts = shifts * float(decimation)
+            mats[:, 0, 2] = shifts[:, 0]
+            mats[:, 1, 2] = shifts[:, 1]
+            return PairFits(
+                degenerate=np.zeros(b, bool),
+                matrices={"translation": mats},
+                confidences={"translation": resp},
+                accepted={"translation": np.ones(b, bool)},
+                residuals={"translation": np.zeros(b)},
+                extra_meta=extra,
+            )
+        # TV-L1 succeeded: fall through to the shared fit unpacking
 
     it = iter(fused)
     valid_counts = np.asarray(next(it))
