@@ -74,12 +74,16 @@ def classic_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) 
     tracked, status = LK.lk_track(prev_pyr, curr_pyr, pts, det_counts)
 
     want_persp = requested_mode == "perspective"
+    # det_counts rides along in the estimator's single host fetch (the
+    # corners themselves never leave the device)
     fused = jax.device_get(
-        _fused_classic_fits(
+        (det_counts,)
+        + _fused_classic_fits(
             jnp.asarray(pts), tracked, status, seed, want_persp, RS.DEFAULT_HYPOTHESES
         )
     )
     it = iter(fused)
+    det_counts = np.asarray(next(it))
     surv_counts = np.asarray(next(it))
     degenerate = (det_counts < MIN_FEATURES) | (surv_counts < MIN_TRACKS)
 

@@ -123,13 +123,68 @@ def _topk_packed(grays, k):
     return jnp.where(ok, top_idx, -1).astype(jnp.int32)
 
 
-def gftt_batch(grays, max_corners: int = MAX_CORNERS):
-    """(B, H, W) -> (pts (B, max_corners, 2) f32, counts (B,) int).
+@functools.partial(jax.jit, static_argnames=("w", "max_corners", "min_distance"))
+def _greedy_device(top_idx, w, max_corners, min_distance):
+    """Score-descending greedy min-distance acceptance ON DEVICE.
 
-    Candidate scoring + NMS is batched on device; the min-distance
-    greedy acceptance (score-descending, 7 px exclusion) is a tiny
-    host loop over <=2048 candidates per frame, matching the
-    reference's greedy ordering semantics.
+    One lax.scan step per candidate, vectorized over frames x accepted
+    slots; a candidate is accepted iff its squared distance to every
+    previously accepted corner is >= min_distance^2 — the exact
+    acceptance order and ties of the host/native greedy (equality
+    asserted in tests/test_classic.py).  Keeping this on device means
+    the corner list never leaves the chip (the dev tunnel charged more
+    for the 0.5 MB candidate fetch than the whole scoring pass cost).
+    """
+    bsz, _k = top_idx.shape
+    valid = top_idx >= 0
+    ys = (top_idx // w).astype(jnp.float32)
+    xs = (top_idx - (top_idx // w) * w).astype(jnp.float32)
+    min_d2 = jnp.float32(min_distance * min_distance)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (bsz, max_corners), 1)
+
+    def step(carry, inp):
+        acc_y, acc_x, n_acc = carry
+        y, x, v = inp
+        d2 = (acc_y - y[:, None]) ** 2 + (acc_x - x[:, None]) ** 2
+        ok = v & (jnp.min(d2, axis=1) >= min_d2) & (n_acc < max_corners)
+        put = (slot_iota == n_acc[:, None]) & ok[:, None]
+        acc_y = jnp.where(put, y[:, None], acc_y)
+        acc_x = jnp.where(put, x[:, None], acc_x)
+        return (acc_y, acc_x, n_acc + ok.astype(jnp.int32)), None
+
+    far = jnp.full((bsz, max_corners), 1.0e9, jnp.float32)
+    (acc_y, acc_x, n_acc), _ = jax.lax.scan(
+        step, (far, far, jnp.zeros(bsz, jnp.int32)), (ys.T, xs.T, valid.T)
+    )
+    used = slot_iota < n_acc[:, None]
+    pts = jnp.stack(
+        [jnp.where(used, acc_x, 0.0), jnp.where(used, acc_y, 0.0)], axis=-1
+    )
+    return pts, n_acc
+
+
+def gftt_batch(grays, max_corners: int = MAX_CORNERS):
+    """(B, H, W) -> (pts (B, max_corners, 2) f32, counts (B,) int32).
+
+    Fully on-device: candidate scoring + NMS + top-k + the greedy
+    min-distance acceptance (score-descending, 7 px exclusion, same
+    ordering semantics as the reference's cv2 GFTT).  Returns DEVICE
+    arrays — the corners feed lk_track and the RANSAC fits without a
+    host round-trip; the host greedy below is kept as the sequential
+    oracle the device scan is tested against.
+    """
+    B, H, W = grays.shape
+    k = min(2048, H * W)
+    return _greedy_device(_topk_packed(grays, k), W, max_corners, MIN_DISTANCE)
+
+
+def gftt_batch_host(grays, max_corners: int = MAX_CORNERS):
+    """Host-greedy variant of gftt_batch (numpy outputs).
+
+    Same scoring/NMS programs; the acceptance loop runs on host (C++
+    native/rectangle.cpp greedy, python fallback).  This is the
+    sequential-semantics oracle for _greedy_device — kept out of the
+    product path, exercised by tests/test_classic.py.
     """
     B, H, W = grays.shape
     k = min(2048, H * W)
@@ -266,7 +321,7 @@ def _sample_from_windows(windows: jnp.ndarray, off_y: jnp.ndarray, off_x: jnp.nd
 
 
 def _extract_windows_batched(stack: jnp.ndarray, corners: jnp.ndarray, wext: int,
-                             chunk: int = 8) -> jnp.ndarray:
+                             chunk: int = 8, bf16: bool = False) -> jnp.ndarray:
     """(B, H, W) stack + (B, F, 2) int xy corners -> (B, F, wext, wext).
 
     Window extraction as one-hot SELECTION MATMULS on the MXU instead
@@ -278,6 +333,13 @@ def _extract_windows_batched(stack: jnp.ndarray, corners: jnp.ndarray, wext: int
     output sums exactly one nonzero product) and run as TWO batched
     matmul kernels per chunk.  Chunking over pairs bounds the one-hot
     and row-strip intermediates to a few hundred MB.
+
+    ``bf16`` runs the selection matmuls in bfloat16 — still BIT-EXACT
+    when the image values are bf16-representable (the finest pyramid
+    level is integer 0..255 grays; one-hot weights are 0/1 and every
+    output sums exactly one product, accumulated in f32) and ~2-3x
+    faster on the MXU.  Callers enable it only for the finest level;
+    coarser levels carry x.25-step box means that bf16 would round.
     """
     B, H, W = stack.shape
     F = corners.shape[1]
@@ -295,15 +357,17 @@ def _extract_windows_batched(stack: jnp.ndarray, corners: jnp.ndarray, wext: int
     cx = jnp.pad(cx, ((0, pad_b), (0, 0)))
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wext), 2)
 
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+
     def one_chunk(_, args):
         img_c, cy_c, cx_c = args                       # (c,Hp,Wp), (c,F), (c,F)
         rows = cy_c[..., None] + idx                   # (c, F, wext)
-        ysel = jax.nn.one_hot(rows, Hp, dtype=jnp.float32)
-        strip = jnp.einsum("cfyh,chw->cfyw", ysel, img_c,
+        ysel = jax.nn.one_hot(rows, Hp, dtype=dt)
+        strip = jnp.einsum("cfyh,chw->cfyw", ysel, img_c.astype(dt),
                            preferred_element_type=jnp.float32)
         cols = cx_c[..., None] + idx
-        xsel = jax.nn.one_hot(cols, Wp, dtype=jnp.float32)
-        out = jnp.einsum("cfyw,cfxw->cfyx", strip, xsel,
+        xsel = jax.nn.one_hot(cols, Wp, dtype=dt)
+        out = jnp.einsum("cfyw,cfxw->cfyx", strip.astype(dt), xsel,
                          preferred_element_type=jnp.float32)
         return None, out
 
@@ -429,16 +493,18 @@ def lk_track(
     Returns (tracked (B, F, 2), status (B, F) bool).
     """
     B, F = pts.shape[:2]
-    valid0 = np.arange(F)[None, :] < counts[:, None]
-    tracked = np.zeros_like(pts)
-    status = np.zeros((B, F), bool)
+    # jnp ops throughout: pts/counts may be device arrays (gftt_batch)
+    # and must not be pulled to host here
+    valid0 = jnp.arange(F)[None, :] < jnp.asarray(counts)[:, None]
 
+    pts = jnp.asarray(pts)
     guesses = pts / (2.0 ** max_level)
     pts_scaled = {lvl: pts / (2.0 ** lvl) for lvl in range(max_level + 1)}
-    valid = jnp.asarray(valid0)
+    valid = valid0
     g = jnp.asarray(guesses)
+    level_solve = _lk_level_all_pallas if _use_pallas_lk() else _lk_level_all
     for lvl in range(max_level, -1, -1):
-        g, status_l = _lk_level_all(
+        g, status_l = level_solve(
             jnp.asarray(prev_pyr[lvl]),
             jnp.asarray(curr_pyr[lvl]),
             jnp.asarray(pts_scaled[lvl]),
@@ -454,6 +520,135 @@ def lk_track(
         valid = valid & status_l
 
     return g, valid  # device arrays; consumers are the RANSAC device fits
+
+
+def _lk_prep(I_stack, J_stack, pts_level, guess, win, bf16_extract=False):
+    """Window extraction + template sampling + normal equations.
+
+    Shared by the XLA and Pallas iteration backends; everything here
+    runs ONCE per level.  Returns the per-feature quantities the GN
+    loop consumes (shapes (B, F, ...)).  ``bf16_extract`` speeds the
+    selection matmuls bit-exactly on the integer-valued finest level
+    (see _extract_windows_batched).
+    """
+    B, H, W = I_stack.shape
+    half = win // 2
+    wext_t = win + 5
+
+    tpl_corner = jnp.floor(pts_level).astype(jnp.int32) - half - 1
+    cur_corner = jnp.floor(guess).astype(jnp.int32) - half - TRAVEL
+    # reflect halo shifts window row r to image row corner + r - 1
+    Ir = jnp.pad(I_stack, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    wins_t = _extract_windows_batched(Ir, tpl_corner, wext_t, bf16=bf16_extract)
+    wins_j = _extract_windows_batched(J_stack, cur_corner, WEXT, bf16=bf16_extract)
+    F = pts_level.shape[1]
+    wins_gx = _conv2(wins_t.reshape(B * F, wext_t, wext_t), _SCHARR_LK_X / 32.0)
+    wins_gy = _conv2(wins_t.reshape(B * F, wext_t, wext_t), _SCHARR_LK_Y / 32.0)
+    wins_gx = wins_gx.reshape(B, F, wext_t, wext_t)
+    wins_gy = wins_gy.reshape(B, F, wext_t, wext_t)
+
+    # Template + gradients at the feature's exact subpixel position.
+    # The integer part of the template offset is the CONSTANT 2
+    # (t_off = frac(pts) + 2: corner = floor(pts) - half - 1 plus the
+    # one-cell reflect-halo shift), so exact bilinear is four STATIC
+    # slices with per-feature scalar weights — same row-then-column
+    # blend order as _sample_from_windows, minus its (31,36)@(36,36)
+    # interp matmuls that ran at ~2% MXU utilization, 3x per level.
+    fy = (pts_level[..., 1] - jnp.floor(pts_level[..., 1]))[..., None, None]
+    fx = (pts_level[..., 0] - jnp.floor(pts_level[..., 0]))[..., None, None]
+
+    def samp(wins):
+        tmp = (1.0 - fy) * wins[:, :, 2 : 2 + win, :] + fy * wins[:, :, 3 : 3 + win, :]
+        return (1.0 - fx) * tmp[..., 2 : 2 + win] + fx * tmp[..., 3 : 3 + win]
+
+    T = samp(wins_t)
+    gx = samp(wins_gx)
+    gy = samp(wins_gy)
+
+    a = (gx * gx).sum(axis=(2, 3))
+    b = (gx * gy).sum(axis=(2, 3))
+    c = (gy * gy).sum(axis=(2, 3))
+    det = a * c - b * b
+    min_eig = 0.5 * ((a + c) - jnp.sqrt((a - c) ** 2 + 4 * b * b)) / (win * win)
+    solvable = (det > 1e-7) & (min_eig > 1e-4)
+    in_t = (
+        (pts_level[..., 0] - half >= 0) & (pts_level[..., 0] + half <= W - 1)
+        & (pts_level[..., 1] - half >= 0) & (pts_level[..., 1] + half <= H - 1)
+    )
+    level_fits = min(H, W) >= win
+    runnable = solvable & in_t & level_fits
+    inv_det = jnp.where(det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+    return wins_j, T, gx, gy, a, b, c, inv_det, runnable, cur_corner
+
+
+def _lk_post(g_iter, guess, valid, runnable, win, H, W, is_level0):
+    """Fold the loop result into (positions, status) — cv2 semantics:
+    upper levels never kill a track; level 0 folds runnability and the
+    final in-image test into the status."""
+    half = win // 2
+    g_out = jnp.where(runnable[..., None], g_iter, guess)
+    if is_level0:
+        in_final = (
+            (g_out[..., 0] - half >= 0) & (g_out[..., 0] + half <= W - 1)
+            & (g_out[..., 1] - half >= 0) & (g_out[..., 1] + half <= H - 1)
+        )
+        return g_out, valid & runnable & in_final
+    return g_out, valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win", "iters", "eps", "is_level0", "interpret")
+)
+def _lk_level_all_pallas(I_stack, J_stack, pts_level, guess, valid, win, iters,
+                         eps, is_level0, interpret=False):
+    """Pallas iteration backend: same prep/post as the XLA path, the GN
+    loop as one lane-major kernel (ops/lk_pallas.py).  Convergence is
+    tracked per 128-feature block instead of across the whole clip, so
+    a straggler track no longer costs every pair an iteration."""
+    from . import lk_pallas as LKP
+
+    B, H, W = I_stack.shape
+    F = pts_level.shape[1]
+    wins_j, T, gx, gy, a, b, c, inv_det, runnable, cur_corner = _lk_prep(
+        I_stack, J_stack, pts_level, guess, win, bf16_extract=is_level0
+    )
+    fp = -(-F // LKP.FB) * LKP.FB
+    padf = fp - F
+
+    def lanes(x):  # (B, F, h, w) -> (B, h, w, Fp)
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, padf)))
+
+    def vec(x):  # (B, F) -> (B, Fp) float32
+        return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, padf)))
+
+    base = cur_corner.astype(jnp.float32)
+    rows = [None] * LKP.N_ROWS
+    rows[LKP.ROW_A] = vec(a)
+    rows[LKP.ROW_B] = vec(b)
+    rows[LKP.ROW_C] = vec(c)
+    rows[LKP.ROW_INVD] = vec(inv_det)
+    rows[LKP.ROW_RUN] = vec(runnable)
+    rows[LKP.ROW_BASE_X] = vec(base[..., 0])
+    rows[LKP.ROW_BASE_Y] = vec(base[..., 1])
+    rows[LKP.ROW_GUESS_X] = vec(guess[..., 0])
+    rows[LKP.ROW_GUESS_Y] = vec(guess[..., 1])
+    zero = jnp.zeros((pts_level.shape[0], fp), jnp.float32)
+    scal = jnp.stack([r if r is not None else zero for r in rows], axis=1)
+
+    g = LKP.lk_gn_iterate(
+        lanes(wins_j), lanes(T), lanes(gx), lanes(gy), scal,
+        win=win, iters=iters, eps=float(eps), interpret=interpret,
+    )
+    g_iter = jnp.transpose(g[:, :2], (0, 2, 1))[:, :F]
+    return _lk_post(g_iter, guess, valid, runnable, win, H, W, is_level0)
+
+
+def _use_pallas_lk() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "is_level0"))

@@ -56,7 +56,7 @@ def test_gftt_finds_corners():
     from comfyui_video_stabilizer_tpu.ops import resize as R
 
     grays = R.make_gray(frames)
-    pts, counts = LK.gftt_batch(np.asarray(grays)[:1])
+    pts, counts = map(np.asarray, LK.gftt_batch(np.asarray(grays)[:1]))
     assert counts[0] >= 100
     # min-distance respected
     p = pts[0, : counts[0]]
@@ -64,12 +64,26 @@ def test_gftt_finds_corners():
     assert d2.min() >= 7.0**2 - 1e-3
 
 
+def test_gftt_device_greedy_matches_host_oracle():
+    """The on-device greedy scan must reproduce the sequential host
+    greedy (C++ native / python) acceptance exactly — same corners,
+    same order, same counts."""
+    frames, _ = _shaken_clip(n=4, seed=9)
+    from comfyui_video_stabilizer_tpu.ops import resize as R
+
+    grays = np.asarray(R.make_gray(frames))
+    pts_d, counts_d = map(np.asarray, LK.gftt_batch(grays))
+    pts_h, counts_h = LK.gftt_batch_host(grays)
+    assert np.array_equal(counts_d, counts_h)
+    assert np.array_equal(pts_d, pts_h)
+
+
 def test_lk_tracks_known_translation():
     frames, truth = _shaken_clip(n=3, seed=2)
     from comfyui_video_stabilizer_tpu.ops import resize as R
 
     grays = R.make_gray(frames)
-    pts, counts = LK.gftt_batch(grays[:-1])
+    pts, counts = map(np.asarray, LK.gftt_batch(grays[:-1]))
     pyr = LK.gaussian_pyramid(grays)
     tracked, status = LK.lk_track([l[:-1] for l in pyr], [l[1:] for l in pyr], pts, counts)
     tracked = np.asarray(tracked); status = np.asarray(status)
