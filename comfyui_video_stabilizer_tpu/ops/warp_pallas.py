@@ -17,19 +17,19 @@ stabilization warps:
   arrays, no host->device origin upload on the clip's critical path.
   The origin of tile t+1 is computed during tile t and carried in an
   SMEM scratch slot, where the double-buffered window DMA picks it up.
-* Window DMAs must start on the (8, 128) HBM tiling, so origins are
-  aligned down.  Both residuals are removed with dynamic rolls of the
-  window (one lane roll for the 0..127 column residual, one sublane
-  roll for the 0..7 row residual), after which the tap loop runs
-  exactly K statically-sliced iterations.
-* The source is pre-padded by one full window extent per side
-  (pad_y == wh) so a clamped (image-edge) DMA origin implies the tile
-  has no valid taps at all; out-of-image taps carry zero weight and
-  the missing weight mass is filled with the border color (exact
-  BORDER_CONSTANT semantics).  pad_y must equal wh: a smaller pad
-  leaves a band of origins where the bottom clamp engages while valid
-  taps remain, which silently drops them (regression-tested at large
-  translations in tests/test_warp_pallas.py).
+* Window DMAs must start on the (8, 128) HBM tiling and stay inside
+  the source array, so origins are clamped then aligned down.  Both
+  residuals VS THE CONCEPTUAL (unclamped) ORIGIN are removed with
+  dynamic rolls of the window (lane roll for columns, sublane roll for
+  rows), after which the tap loop runs exactly K statically-sliced
+  iterations.  Because the rolls carry the full signed residual,
+  in-image taps always land on their true window slots even when a
+  clamp engages; only out-of-image taps (zero weight, border-filled —
+  exact BORDER_CONSTANT semantics) can wrap around the window.  That
+  invariant needs only one (8, 128) tile of pad slack per edge
+  (_geometry) — 1.12x source bytes at 1080p vs 1.77x for a full-window
+  pad.  Regression-tested at large translations in
+  tests/test_warp_pallas.py.
 * Shutter-blur runs the SAME kernel with the sample index as the
   innermost grid axis: the output tile stays resident in VMEM across
   the S samples and is written back once — S-fold fewer output
@@ -89,20 +89,32 @@ def _displacement_fields(coeffs: np.ndarray, ys: np.ndarray, xs: np.ndarray):
     return qx / denom, qy / denom
 
 
-def _geometry(k: int, th: int, tw: int, out_h: int, out_w: int):
+def _geometry(k: int, th: int, tw: int, out_h: int, out_w: int,
+              in_h: int, in_w: int):
     n_th = -(-out_h // th)
     n_tw = -(-out_w // tw)
     wh = -(-(th + k + 8) // 8) * 8
     ww = 256
     while ww < tw + k + 128:
         ww *= 2
-    # pad_y == wh is a correctness invariant, not slack: the in-kernel
-    # origin clamp (oy_p = clip(oy_c, 0, H_padded - wh)) may only engage
-    # on tiles with NO valid taps.  With pad_y == wh the bottom clamp
-    # fires iff oy_c > in_h + pad_y, and the shallowest tap of such a
-    # tile already sits past the last image row.
-    pad_y = wh
-    pad_x = -(-(tw + k) // 128) * 128
+    # Window origins are clamped into the (padded) source and BOTH
+    # residuals (vs the conceptual origin) are rolled away in-kernel,
+    # so in-image taps always resolve to their true window slots and
+    # only zero-weight (out-of-image) taps can wrap.  That invariant
+    # needs just one (8, 128) tile of slack: pad_y >= 7 keeps the
+    # aligned-down clamp bound within a sublane tile of the true bound
+    # and pad_x >= 127 within a lane tile, so the deepest in-image
+    # row/col still lands inside the fetched window (proof sketch:
+    # o_al >= padded_dim - w_dim - (tile-1), so in-image index
+    # <= in_dim + pad - 1 - o_al <= w_dim - 2).  The minimal (8, 128)
+    # pad is 1.12x the source bytes at 1080p vs 1.77x for the previous
+    # full-window pad — and it forces the transposed source to
+    # materialize in the default layout Pallas window DMAs assume
+    # (a zero-pad variant was measured reading a layout-elided
+    # transpose as garbage on device while interpret mode passed).
+    # Tiny sources additionally pad up so the window DMA fits.
+    pad_y = max(8, -(-(wh - in_h) // 2))
+    pad_x = max(128, -(-(ww - in_w) // 2))
     return n_th, n_tw, wh, ww, pad_y, pad_x
 
 
@@ -160,7 +172,7 @@ def _plan(coeffs: np.ndarray, out_h: int, out_w: int, in_h: int, in_w: int,
     extra = 4 if cubic else 2
     spans = {}
     for k_cand, th, tw in (_K_TILE_BICUBIC if cubic else _K_TILE_BILINEAR):
-        n_th, n_tw, wh, ww, pad_y, pad_x = _geometry(k_cand, th, tw, out_h, out_w)
+        n_th, n_tw, wh, ww, pad_y, pad_x = _geometry(k_cand, th, tw, out_h, out_w, in_h, in_w)
         key = (th, tw)
         if key not in spans:
             spans[key] = _max_tile_span(coeffs, th, tw, n_th, n_tw, affine)
@@ -254,7 +266,7 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
             ox_p = jnp.clip(ox_c, 0, in_w + 2 * pad_x - ww)
             org[slot, 0] = (oy_p // 8) * 8
             org[slot, 1] = (ox_p // 128) * 128
-            org[slot, 2] = oy_p
+            org[slot, 2] = oy_c
             org[slot, 3] = ox_c
 
         def dma_for(tid, slot):
@@ -282,10 +294,14 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
 
         oy_al = org[cur, 0]
         ox_al = org[cur, 1]
-        oy_p = org[cur, 2]
+        oy_c = org[cur, 2]
         ox_c = org[cur, 3]
-        ry = oy_p - oy_al          # 0..7 sublane-roll amount
-        rx = ox_c - ox_al          # signed lane-roll amount
+        # Roll amounts NORMALIZED to [0, size): Mosaic/libtpu (0.0.34)
+        # miscompiles dynamic sublane rolls with negative amounts on
+        # device (interpret mode is fine) — measured: amounts in
+        # [-wh, -3] read garbage.  rem twice = true floored modulo.
+        ry = jax.lax.rem(jax.lax.rem(oy_al - oy_c, wh) + wh, wh)
+        rx = jax.lax.rem(jax.lax.rem(ox_al - ox_c, ww) + ww, ww)
 
         ylo = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
         xlo = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
@@ -318,10 +334,13 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
         iy = (ygf + fdy).astype(jnp.int32)
         # tap window-offsets relative to the CONCEPTUAL origin: in [1, k)
         # by the plan bound, independent of clamping/alignment.  Both
-        # residuals (ry rows, rx columns) are rolled away below, so the
-        # offsets index the rolled window directly.
+        # residuals (ry rows, rx columns) are FULL signed rolls of the
+        # window below, so the offsets index the rolled window directly;
+        # when an origin clamp engages, in-image taps still map to their
+        # true window slots and out-of-image taps (zero weight) are the
+        # only ones that wrap (see the pad/no-pad invariant note above).
         ex = (tx * tw) + fdx.astype(jnp.int32) + tap_start + pad_x - ox_c
-        ey = (ty * th) + fdy.astype(jnp.int32) + tap_start + pad_y - oy_p
+        ey = (ty * th) + fdy.astype(jnp.int32) + tap_start + pad_y - oy_c
 
         if interp == "bicubic":
             wx_tap = [_cubic_w(fx, i) for i in range(4)]
@@ -356,7 +375,7 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
         # (image-edge) origins never have valid taps (pad_y == wh), so
         # their garbage window contents carry zero weight.
         for ch in range(channels):
-            rolled[ch] = pltpu.roll(pltpu.roll(win[cur, ch], -rx, 1), -ry, 0)
+            rolled[ch] = pltpu.roll(pltpu.roll(win[cur, ch], rx, 1), ry, 0)
 
         wxs = axis_weights(ex, ix, in_w, wx_tap)
         wys = axis_weights(ey, iy, in_h, wy_tap)
@@ -399,14 +418,14 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
                      "channels", "interp", "affine", "interpret"),
 )
 def _warp_pallas_call(
-    frames_nhwc, coeffs32, border, *,
+    frames, coeffs32, border, *,
     out_h, out_w, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w,
     pad_y, pad_x, channels, interp, affine, interpret=False,
 ):
-    # layout conversion + padding run ON DEVICE inside this jit: the
-    # wrapper receives NHWC frames that never leave the chip.
+    # any layout conversion + padding runs ON DEVICE inside this jit:
+    # the wrapper receives frames that never leave the chip.
     out = _pallas_warp_core(
-        frames_nhwc, coeffs32, border, n_samples=1,
+        frames, coeffs32, border, n_samples=1,
         th=th, tw=tw, wh=wh, ww=ww, k=k, n_th=n_th, n_tw=n_tw,
         in_h=in_h, in_w=in_w, pad_y=pad_y, pad_x=pad_x,
         channels=channels, interp=interp, affine=affine,
@@ -422,12 +441,15 @@ def _pallas_warp_core(
 ):
     """Shared pallas_call: grid (N, n_th, n_tw, S), planar padded output.
 
-    For n_samples > 1 the output tile accumulates the S sample warps in
-    VMEM (the caller divides by S)."""
-    planar_padded = jnp.pad(
-        jnp.transpose(frames_nhwc, (0, 3, 1, 2)),
-        ((0, 0), (0, 0), (pad_y, pad_y), (pad_x, pad_x)),
-    )
+    In the no-pad geometry (pad_y == pad_x == 0) the window DMAs read
+    the planar source directly, so layout work is ONE transpose with no
+    padded-copy pass (a 96-frame 1080p clip saves a 4.2 GB HBM buffer
+    and its write pass).  For n_samples > 1 the output tile accumulates
+    the S sample warps in VMEM (the caller divides by S)."""
+    src = jnp.transpose(frames_nhwc, (0, 3, 1, 2))
+    if pad_y or pad_x:
+        src = jnp.pad(src, ((0, 0), (0, 0), (pad_y, pad_y), (pad_x, pad_x)))
+    planar_padded = src
     n = planar_padded.shape[0]
     kernel = _make_kernel(
         th=th, tw=tw, wh=wh, ww=ww, k=k, n_th=n_th, n_tw=n_tw,
@@ -453,6 +475,11 @@ def _pallas_warp_core(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=jax.ShapeDtypeStruct((n, channels, n_th * th, n_tw * tw), jnp.float32),
+        # the tile pipeline (SMEM origin carry + double-buffered window
+        # DMA) requires strictly sequential grid execution
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+        ),
         interpret=interpret,
     )(coeffs32, border, planar_padded)
 

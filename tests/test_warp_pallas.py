@@ -101,10 +101,12 @@ def test_pallas_large_translation_clamp_band(interp):
     """Origin-clamp regression: translations that push the source window
     against the padded image edge must not drop valid edge taps.
 
-    With the old pad_y < wh geometry, a pure +dy translation of
+    With the old partial-pad geometry, a pure +dy translation of
     120..127 px on a 128-row clip engaged the bottom origin clamp while
     valid taps remained, replacing up to ~1024 pixels with border color
-    (advisor round-2 finding).  pad_y == wh restores the invariant.
+    (advisor round-2 finding).  The full-residual rolls now keep
+    in-image taps on their true window slots whenever a clamp engages
+    (see _geometry's invariant note).
     """
     frames = _frames(n=1, h=128, w=256, seed=7)
     h, w = frames.shape[1:3]
@@ -142,3 +144,27 @@ def test_pallas_blur_matches_xla_blur():
         ref = wk if ref is None else ref + wk
     ref = ref / s
     np.testing.assert_allclose(np.asarray(fused), ref, atol=5e-6)
+
+
+def test_pallas_minimal_pad_geometry_matches_xla():
+    """The minimal (8, 128) pad geometry relies on full-residual rolls:
+    parity must hold including at large translations where the origin
+    clamps engage against the barely-padded image edges."""
+    frames = _frames(n=2, h=256, w=640, seed=11)
+    h, w = frames.shape[1:3]
+    mats = _mats(2, seed=12, t=6.0)
+    coeffs = W.prepare_inverse_coeffs(mats)
+    plan = WP._plan(coeffs, h, w, h, w, cubic=False)
+    assert plan is not None and plan["pad_y"] == 8 and plan["pad_x"] == 128
+    for interp in ("bilinear", "bicubic"):
+        ours, ref = _run_both(frames, mats, (w, h), interp, (0.3, 0.6, 0.9))
+        np.testing.assert_allclose(ours, ref, atol=2e-6)
+    # clamp band: push the window against every image edge
+    for dy, dx in ((250, 0), (-250, 0), (0, 630), (0, -630), (250, -630)):
+        m = np.eye(3)
+        m[1, 2], m[0, 2] = float(dy), float(dx)
+        ours, ref = _run_both(frames[:1], m[None], (w, h), "bilinear",
+                              (0.5, 0.25, 0.125))
+        np.testing.assert_allclose(
+            np.asarray(ours), ref, atol=2e-6,
+            err_msg=f"min-pad clamp mismatch at dy={dy} dx={dx}")
