@@ -1,0 +1,463 @@
+"""Zero-sync device front-end for the Flow stabilizer (crop_and_pad).
+
+The standard engine (models/stabilize.py) fetches the robust fits to
+host, solves the trajectory in float64 numpy, and only then dispatches
+the warp — one full host<->device round-trip sits serially between
+estimation and warp.  On a production PCIe host that costs ~1 ms; on
+the dev tunnel it costs 35-60 ms, and either way it is latency a
+stabilize call does not need: the trajectory math is O(N*D) scalars
+that the device solves in microseconds.
+
+This module runs stages 4-7 of the reference pipeline
+(/root/reference/nodes/video_stabilizer_flow.py:324-460 — sticky-mode
+selection, path integration, fps smoothing, crop_and_pad recentering)
+as ONE device program appended to the estimation dispatch queue, then
+dispatches the padding stats and the warp against device-resident
+inverse coefficients.  The only host fetch is the diagnostics bundle
+(matrices, paths, confidences — a few KB), issued AFTER the warp is
+queued so the transfer overlaps warp execution.  Critical-path host
+syncs per stabilize call: one (the caller's output wait).
+
+Because the warp must be *planned* (tile/K selection) before the
+correction magnitudes are known on host, the Pallas kernel launches
+with a fixed speculative plan and the device program emits a guard —
+the same tile-span bound the host planner computes
+(ops/warp_pallas.py::_max_tile_span), evaluated on the actual
+coefficients.  If the fetched guard says the plan cannot hold (wild
+corrections; rare for stabilization), the call returns None and the
+engine transparently re-runs the exact host path.
+
+Numerics: the trajectory runs in float32 (vs the host path's float64)
+and the warp coefficients come from an on-device Newton-refined 3x3
+inverse (vs host float64 inverse rounded to float32) — both agree with
+the host path to ~1 ulp, i.e. sub-1e-5-pixel warps (asserted against
+the host engine in tests/test_fastpath.py; the CPU default keeps the
+host path, preserving the bit-exact replay contract the reference's
+checks enforce).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PERSP_MIN_RATIO = 0.15
+SIM_MIN_RATIO = 0.1
+MIN_VALID = 12
+
+_MODE_IDX = {"perspective": 0, "similarity": 1, "translation": 2}
+_MODE_NAMES = ("perspective", "similarity", "translation")
+
+
+def enabled() -> bool:
+    """Fast path on accelerators by default; CVST_FASTPATH=0/1 overrides
+    (tests force-enable it on the CPU backend)."""
+    flag = os.environ.get("CVST_FASTPATH")
+    if flag is not None:
+        return flag not in ("0", "false", "")
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Device math helpers (float32 ports of models/geometry.py)
+# ---------------------------------------------------------------------------
+
+def _params_from_mats(m: jnp.ndarray, mode: str) -> jnp.ndarray:
+    if mode == "translation":
+        return jnp.stack([m[:, 0, 2], m[:, 1, 2]], axis=-1)
+    if mode == "similarity":
+        a, c = m[:, 0, 0], m[:, 1, 0]
+        scale = jnp.sqrt(jnp.maximum(a * a + c * c, 1e-10))
+        theta = jnp.arctan2(c, a)
+        return jnp.stack([m[:, 0, 2], m[:, 1, 2], theta, jnp.log(scale)], axis=-1)
+    return jnp.stack(
+        [m[:, 0, 0] - 1.0, m[:, 0, 1], m[:, 0, 2],
+         m[:, 1, 0], m[:, 1, 1] - 1.0, m[:, 1, 2],
+         m[:, 2, 0], m[:, 2, 1]],
+        axis=-1,
+    )
+
+
+def _mats_from_params(p: jnp.ndarray, mode: str) -> jnp.ndarray:
+    n = p.shape[0]
+    one = jnp.ones(n, jnp.float32)
+    zero = jnp.zeros(n, jnp.float32)
+    if mode == "translation":
+        rows = [one, zero, p[:, 0], zero, one, p[:, 1], zero, zero, one]
+    elif mode == "similarity":
+        s = jnp.exp(p[:, 3])
+        ct = s * jnp.cos(p[:, 2])
+        st = s * jnp.sin(p[:, 2])
+        rows = [ct, -st, p[:, 0], st, ct, p[:, 1], zero, zero, one]
+    else:
+        rows = [p[:, 0] + 1.0, p[:, 1], p[:, 2],
+                p[:, 3], p[:, 4] + 1.0, p[:, 5],
+                p[:, 6], p[:, 7], one]
+    return jnp.stack(rows, axis=-1).reshape(n, 3, 3)
+
+
+def _inverse_coeffs_device(m: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3, 3) -> (N, 8) normalized inverse-map coefficients, float32.
+
+    Adjugate/determinant start + one Newton step (X <- X(2I - MX))
+    lands within ~1 ulp of the host float64 inverse rounded to float32
+    (ops/warp.py::prepare_inverse_coeffs)."""
+    a, b, c = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
+    d, e, f = m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]
+    g, h, i = m[:, 2, 0], m[:, 2, 1], m[:, 2, 2]
+    adj = jnp.stack(
+        [e * i - f * h, c * h - b * i, b * f - c * e,
+         f * g - d * i, a * i - c * g, c * d - a * f,
+         d * h - e * g, b * g - a * h, a * e - b * d],
+        axis=-1,
+    ).reshape(-1, 3, 3)
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    ok = jnp.abs(det) > 1e-20
+    inv = adj / jnp.where(ok, det, 1.0)[:, None, None]
+    eye2 = 2.0 * jnp.eye(3, dtype=jnp.float32)[None]
+    # 3x3 Newton step at FULL f32 precision: the MXU's default bf16
+    # passes would inject ~1e-2 coefficient error (measured) and the
+    # whole point of the step is the last few ulps
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda x, y: jnp.einsum("nij,njk->nik", x, y, precision=hi)
+    inv = mm(inv, eye2 - mm(m, inv))
+    inv = jnp.where(ok[:, None, None], inv, jnp.eye(3, dtype=jnp.float32)[None])
+    w0 = inv[:, 2, 2]
+    w_ok = (w0 != 0.0) & jnp.isfinite(w0)
+    inv = inv / jnp.where(w_ok, w0, 1.0)[:, None, None]
+    return jnp.stack(
+        [inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2],
+         inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2],
+         inv[:, 2, 0], inv[:, 2, 1]],
+        axis=-1,
+    )
+
+
+def _span_guard(coeffs: jnp.ndarray, plan: Tuple[int, ...]) -> jnp.ndarray:
+    """Device twin of ops/warp_pallas.py::_max_tile_span + _plan's fit
+    test: True iff the speculative (k, tile) plan holds for these
+    coefficients.  plan = (k, th, tw, n_th, n_tw, sub, margin, extra)."""
+    k, th, tw, n_th, n_tw, sub, margin, extra = plan
+    ys = (jnp.arange(n_th * sub + 1, dtype=jnp.float32) * (th / sub))[None, :, None]
+    xs = (jnp.arange(n_tw * sub + 1, dtype=jnp.float32) * (tw / sub))[None, None, :]
+    a, b, c, d, e, f, g, h = [coeffs[:, i][:, None, None] for i in range(8)]
+    denom = 1.0 + g * xs + h * ys
+    safe = denom != 0.0
+    inv_d = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
+    qx = (a - 1.0) * xs + b * ys + c - (g * xs) * xs - (h * xs) * ys
+    qy = d * xs + (e - 1.0) * ys + f - (g * ys) * xs - (h * ys) * ys
+    dx = jnp.where(safe, qx * inv_d, jnp.inf)
+    dy = jnp.where(safe, qy * inv_d, jnp.inf)
+    bx = jnp.floor(dx + xs) - jnp.floor(xs)
+    by = jnp.floor(dy + ys) - jnp.floor(ys)
+
+    def tile_span(field, axis):
+        # overlapping (sub+1)-sample windows, stride sub, both axes
+        def windows(x, ax):
+            n_t = (x.shape[ax] - 1) // sub
+            main = jnp.moveaxis(x, ax, -1)
+            body = main[..., : n_t * sub].reshape(main.shape[:-1] + (n_t, sub))
+            edge = main[..., sub::sub][..., :n_t]
+            mx = jnp.maximum(body.max(-1), edge)
+            mn = jnp.minimum(body.min(-1), edge)
+            return jnp.moveaxis(mn, -1, ax), jnp.moveaxis(mx, -1, ax)
+
+        mn, mx = windows(field, 1)
+        mn = windows(mn, 2)[0]
+        mx = windows(mx, 2)[1]
+        return (mx - mn).max()
+
+    span = jnp.maximum(tile_span(bx, 2), tile_span(by, 1))
+    finite = jnp.isfinite(coeffs).all()
+    return finite & (span + margin + extra <= k)
+
+
+# ---------------------------------------------------------------------------
+# The trajectory program (one jit): sticky select -> path -> framing -> coeffs
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "want_persp", "camera_lock", "window",
+                     "width", "height", "scale_xy", "total_pts", "plan"),
+)
+def _traj_crop_and_pad(
+    strength, *fits,
+    mode, want_persp, camera_lock, window, width, height, scale_xy,
+    total_pts, plan,
+):
+    it = iter(fits)
+    valid_counts = next(it)
+    b = valid_counts.shape[0]
+    deg = valid_counts < MIN_VALID
+    eye = jnp.eye(3, dtype=jnp.float32)
+
+    def fit_block(thresh_pts, min_ratio):
+        M, n_in, n_valid, r = next(it), next(it), next(it), next(it)
+        conf = jnp.where(n_valid > 0, n_in / jnp.maximum(n_valid, 1), 0.0)
+        ok = (jnp.isfinite(M).all(axis=(1, 2))
+              & (valid_counts >= thresh_pts) & (conf >= min_ratio))
+        return M.astype(jnp.float32), conf.astype(jnp.float32), r.astype(jnp.float32), ok
+
+    if want_persp:
+        Mp, cp, rp, op_ = fit_block(4, PERSP_MIN_RATIO)
+    else:
+        Mp = jnp.broadcast_to(eye, (b, 3, 3))
+        cp = rp = jnp.zeros(b, jnp.float32)
+        op_ = jnp.zeros(b, bool)
+    Ms, cs, rs, os_ = fit_block(3, SIM_MIN_RATIO)
+    Mt, rt = next(it).astype(jnp.float32), next(it).astype(jnp.float32)
+    ct = valid_counts.astype(jnp.float32) / max(total_pts, 1)
+
+    acc3 = jnp.stack([op_, os_, jnp.ones(b, bool)], axis=1)  # (B, 3)
+
+    # sticky active-mode degradation (reference classic:264-272): one
+    # tiny scan; the first accepted mode at or below `active` wins
+    req = jnp.int32(_MODE_IDX[mode])
+
+    def step(active, x):
+        acc_i, deg_i = x
+        can = acc_i & (jnp.arange(3) >= active)
+        chosen = jnp.where(deg_i, 2, jnp.argmax(can))
+        return chosen, chosen
+
+    _, chosen = jax.lax.scan(step, req, (acc3, deg))
+
+    def sel(v0, v1, v2):
+        return jnp.where(
+            (chosen == 0)[..., *([None] * (v0.ndim - 1))], v0,
+            jnp.where((chosen == 1)[..., *([None] * (v1.ndim - 1))], v1, v2),
+        )
+
+    Msel = sel(Mp, Ms, Mt)
+    Msel = jnp.where(deg[:, None, None], eye, Msel)
+    conf = jnp.where(deg, 0.0, sel(cp, cs, ct))
+    resid = jnp.where(deg, 0.0, sel(rp, rs, rt))
+
+    # rescale working-res transforms to full res: S^-1 M S
+    sx, sy = scale_xy
+    if (sx, sy) != (1.0, 1.0):
+        s_vec = jnp.asarray([sx, sy, 1.0], jnp.float32)
+        Mf = (Msel * s_vec[None, None, :]) / s_vec[None, :, None]
+    else:
+        Mf = Msel
+
+    # path integration + fps-aware smoothing (float32 on device)
+    P = _params_from_mats(Mf, mode)
+    d_dim = P.shape[1]
+    path = jnp.concatenate(
+        [jnp.zeros((1, d_dim), jnp.float32), jnp.cumsum(P, axis=0)], axis=0
+    )
+    n = b + 1
+    if camera_lock:
+        target = jnp.zeros_like(path)
+    elif window >= 3 and n > 2:
+        pad = window // 2
+        padded = jnp.concatenate(
+            [jnp.repeat(path[:1], pad, 0), path, jnp.repeat(path[-1:], pad, 0)],
+            axis=0,
+        )
+        cs_ = jnp.cumsum(padded, axis=0)
+        zero = jnp.zeros((1, d_dim), jnp.float32)
+        sums = cs_[window - 1:] - jnp.concatenate([zero, cs_[: n - 1 + 2 * pad - window + 1]], 0)
+        smoothed = sums * (1.0 / window)
+        target = path + strength * (smoothed - path)
+    else:
+        target = path
+    diffs = target - path
+
+    apply_m = _mats_from_params(diffs, mode)
+
+    # crop_and_pad recenter (reference classic:431-460).  All tiny
+    # matrix products at FULL f32 precision: the MXU's default bf16
+    # passes cost ~0.1 px on 1920-scale corner coordinates (measured)
+    hi = jax.lax.Precision.HIGHEST
+    corners = jnp.asarray(
+        [[0.0, 0.0, 1.0], [float(width), 0.0, 1.0],
+         [0.0, float(height), 1.0], [float(width), float(height), 1.0]],
+        jnp.float32,
+    )
+    warped = jnp.einsum("nij,kj->nki", apply_m, corners, precision=hi)
+    xy = warped[..., :2] / warped[..., 2:3]
+    mins = xy.min(axis=1)
+    maxs = xy.max(axis=1)
+    x0 = mins[:, 0].max(); y0 = mins[:, 1].max()
+    x1 = maxs[:, 0].min(); y1 = maxs[:, 1].min()
+    off_x = 0.5 * width - 0.5 * (x0 + x1)
+    off_y = 0.5 * height - 0.5 * (y0 + y1)
+    trans = eye.at[0, 2].set(off_x).at[1, 2].set(off_y)
+    final = jnp.einsum("ij,njk->nik", trans, apply_m, precision=hi)
+
+    coeffs = _inverse_coeffs_device(final)
+    guard = _span_guard(coeffs, plan) & jnp.isfinite(final).all()
+
+    return dict(
+        chosen=chosen, conf=conf, resid=resid, matrices=Mf,
+        path=path, target=target, diffs=diffs,
+        apply=apply_m, final=final, coeffs=coeffs,
+        mins=mins, maxs=maxs, offsets=jnp.stack([off_x, off_y]),
+        degenerate=deg, guard=guard,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+def _speculative_plan(out_h: int, out_w: int, in_h: int, in_w: int,
+                      affine: bool):
+    """Fixed bilinear Pallas plan for the speculative dispatch.
+
+    k=6 over 64x256 tiles tolerates a ~3 px displacement span per tile
+    (margin rules of ops/warp_pallas.py::_plan) — ample for smoothing
+    corrections; the device guard re-checks the real coefficients."""
+    from ..ops import warp_pallas as WP
+
+    k, th, tw = 6, 64, 256
+    n_th, n_tw, wh, ww, pad_y, pad_x = WP._geometry(k, th, tw, out_h, out_w, in_h, in_w)
+    margin = 1 if affine else 3
+    sub = 1 if affine else 4
+    return dict(k=k, th=th, tw=tw, wh=wh, ww=ww, pad_y=pad_y, pad_x=pad_x,
+                n_th=n_th, n_tw=n_tw, margin=margin, sub=sub, extra=2)
+
+
+def run_flow_fast(
+    frames,
+    grays,
+    transform_mode: str,
+    camera_lock: bool,
+    strength: float,
+    smooth: float,
+    fps: float,
+    size: Tuple[int, int],
+    working_size,
+    decimation: int,
+    padding_rgb: Tuple[int, int, int],
+    seed: int = 0,
+) -> Dict | None:
+    """Dispatch the full Flow crop_and_pad pipeline with zero serial
+    host syncs; returns the host-value dict models/stabilize.py's meta
+    assembly consumes, or None to fall back to the standard engine."""
+    from ..ops import flow_dis as FD
+    from ..ops import ransac as RS
+    from ..ops import warp as W
+    from . import flow as FL
+    from . import geometry as G
+
+    if not enabled():
+        return None
+    width, height = int(size[0]), int(size[1])
+    if getattr(frames, "ndim", 0) != 4 or frames.shape[-1] != 3:
+        return None
+    n = int(frames.shape[0])
+    if W.will_stream(n, height, width, height, width) or n < 2:
+        return None
+    # same single upload the host path pays at warp time (no-op for
+    # device-resident clips)
+    frames = W._device_frames(frames)
+
+    gh, gw = int(grays.shape[1]), int(grays.shape[2])
+    h_work, w_work = gh * decimation, gw * decimation
+    want_persp = transform_mode == "perspective"
+    try:
+        samples = FD.dis_flow_fit(
+            grays,
+            FL.SAMPLE_STEP // decimation,
+            finest_scale=0 if decimation > 1 else FD.FINEST_SCALE,
+            model="homography" if want_persp else "similarity",
+        )
+    except Exception:
+        return None  # host path runs the DIS -> TV-L1 -> phase chain
+    if decimation > 1:
+        samples = samples * float(decimation)
+    pts = FL._grid_points(h_work, w_work, FL.SAMPLE_STEP)
+    fits = FL._fused_fits_sampled(samples, pts, seed, want_persp,
+                                  RS.DEFAULT_HYPOTHESES)
+
+    if working_size is not None:
+        scale_xy = (working_size[0] / float(width), working_size[1] / float(height))
+    else:
+        scale_xy = (1.0, 1.0)
+    strength_c = float(np.clip(strength, 0.0, 1.0))
+    smooth_c = float(np.clip(smooth, 0.0, 1.0))
+    if camera_lock:
+        smooth_c = max(smooth_c, 0.85)
+    window = G.smoothing_window(smooth_c, fps) if smooth_c > 0.0 else 0
+    total_pts = (
+        ((h_work + FL.SAMPLE_STEP - 1) // FL.SAMPLE_STEP)
+        * ((w_work + FL.SAMPLE_STEP - 1) // FL.SAMPLE_STEP)
+    )
+    plan = _speculative_plan(height, width, height, width, affine=not want_persp)
+    plan_key = (plan["k"], plan["th"], plan["tw"], plan["n_th"], plan["n_tw"],
+                plan["sub"], plan["margin"], plan["extra"])
+
+    out = _traj_crop_and_pad(
+        jnp.float32(strength_c), *fits,
+        mode=transform_mode, want_persp=want_persp, camera_lock=camera_lock,
+        window=window, width=width, height=height, scale_xy=scale_xy,
+        total_pts=total_pts, plan=plan_key,
+    )
+
+    # stats queued before the warp so their fetch overlaps warp compute
+    masks, ratios = W._padding_stats_xla(
+        out["coeffs"], height, width, height, width
+    )
+    border = np.asarray(padding_rgb, np.float32) / 255.0
+    use_pallas = W._use_pallas("bilinear")
+    if use_pallas:
+        from ..ops import warp_pallas as WP
+
+        stabilized = WP._warp_pallas_call(
+            frames.astype(jnp.float32) if frames.dtype != jnp.float32 else frames,
+            out["coeffs"].reshape(-1), jnp.asarray(border),
+            out_h=height, out_w=width, th=plan["th"], tw=plan["tw"],
+            wh=plan["wh"], ww=plan["ww"], k=plan["k"],
+            n_th=plan["n_th"], n_tw=plan["n_tw"], in_h=height, in_w=width,
+            pad_y=plan["pad_y"], pad_x=plan["pad_x"], channels=3,
+            interp="bilinear", affine=not want_persp,
+        )
+    else:
+        stabilized = W._warp_xla(frames, out["coeffs"], jnp.asarray(border),
+                                 height, width, "bilinear")
+
+    # ONE host fetch, overlapping the queued warp
+    diag = jax.device_get(
+        (out["guard"], out["chosen"], out["conf"], out["resid"],
+         out["matrices"], out["path"], out["target"], out["diffs"],
+         out["apply"], out["final"], out["mins"], out["maxs"],
+         out["offsets"], out["degenerate"], ratios)
+    )
+    (guard, chosen, conf, resid, matrices, path, target, diffs,
+     apply_m, final, mins, maxs, offsets, degenerate, ratios_np) = diag
+    if use_pallas and not bool(guard):
+        return None  # wild corrections: replan via the exact host path
+
+    modes_used = [_MODE_NAMES[int(i)] for i in chosen]
+    return dict(
+        matrices=np.asarray(matrices, np.float32),
+        modes_used=modes_used,
+        confidences=[float(v) for v in conf],
+        residuals=[float(v) for v in resid],
+        path=np.asarray(path, np.float64),
+        target_path=np.asarray(target, np.float64),
+        diffs=np.asarray(diffs, np.float64),
+        apply_matrices=np.asarray(apply_m, np.float32),
+        final_matrices=np.asarray(final, np.float32),
+        mins=np.asarray(mins, np.float64),
+        maxs=np.asarray(maxs, np.float64),
+        center_offset=[float(offsets[0]), float(offsets[1])],
+        stabilized=stabilized,
+        padding_masks=masks,
+        padded_ratios=np.asarray(ratios_np),
+        extra_meta={"flow_backend": "DIS", "flow_fallback_reason": None},
+        strength=strength_c,
+        smooth=smooth_c,
+    )

@@ -223,6 +223,33 @@ def flow_estimator(
 flow_estimator.gray_decimation = _gray_decimation
 
 
+def _flow_fast_crop_and_pad(frames, grays, transform_mode, camera_lock,
+                            strength, smooth, fps, size, working_size,
+                            decimation, padding_rgb):
+    """Engine hook: zero-sync device pipeline for crop_and_pad (see
+    models/fastpath.py).  Returns None to fall back to the host path."""
+    import logging
+    import os
+
+    from . import fastpath
+
+    try:
+        return fastpath.run_flow_fast(
+            frames, grays, transform_mode, camera_lock, strength, smooth,
+            fps, size, working_size, decimation, padding_rgb,
+        )
+    except Exception:
+        if os.environ.get("CVST_FASTPATH_STRICT"):
+            raise
+        logging.getLogger(__name__).debug(
+            "fast path failed; using host engine", exc_info=True
+        )
+        return None  # host path re-runs with its full fallback chain
+
+
+flow_estimator.fast_crop_and_pad = _flow_fast_crop_and_pad
+
+
 def stabilize_flow(
     context: VideoContext,
     framing_mode: G.FramingMode,

@@ -236,34 +236,62 @@ def stabilize_clip(
         grays = R.gray_for_estimation(frames, working_size, decimation=decimation)
     base_mode = transform_mode
 
-    with timer.stage("estimation"):
-        fits = (
-            estimator(grays, transform_mode, decimation=decimation)
-            if decimation > 1
-            else estimator(grays, transform_mode)
-        )
-    matrices, modes_used, confidences, residuals = sticky_select(transform_mode, fits)
-    if working_size is not None:
-        matrices = G.rescale_transforms_to_full(matrices, (width, height), working_size)
-    extra_meta.update(fits.extra_meta)
-    active_mode = modes_used[-1] if modes_used else transform_mode
-    _tick(estimation_steps, progress_total)
-
-    delta_params = G.matrices_to_params(matrices, base_mode)
-    path = G.integrate_path(delta_params)
-
-    strength = float(np.clip(strength, 0.0, 1.0))
-    smooth = float(np.clip(smooth, 0.0, 1.0))
-
-    if camera_lock:
-        smooth = max(smooth, 0.85)
-        target_path = np.zeros_like(path)
+    # Zero-sync device fast path (models/fastpath.py): estimation,
+    # sticky select, trajectory, recenter, warp all dispatched without
+    # a serial host round-trip; returns every host value the meta
+    # assembly below needs.  None -> exact host path.
+    fast = None
+    fast_fn = getattr(estimator, "fast_crop_and_pad", None)
+    if fast_fn is not None and framing_mode == "crop_and_pad":
+        with timer.stage("estimation"):
+            fast = fast_fn(
+                frames, grays, transform_mode, camera_lock, strength, smooth,
+                fps_effective, (width, height), working_size, decimation,
+                padding_rgb,
+            )
+    if fast is not None:
+        matrices = fast["matrices"]
+        modes_used = fast["modes_used"]
+        confidences = fast["confidences"]
+        residuals = fast["residuals"]
+        extra_meta.update(fast["extra_meta"])
+        active_mode = modes_used[-1] if modes_used else transform_mode
+        _tick(estimation_steps, progress_total)
+        strength = fast["strength"]
+        smooth = fast["smooth"]
+        path = fast["path"]
+        target_path = fast["target_path"]
+        diffs = fast["diffs"]
+        delta_params_full = diffs
     else:
-        smoothed = G.smooth_path(path, smooth, fps_effective)
-        target_path = path + strength * (smoothed - path)
+        with timer.stage("estimation"):
+            fits = (
+                estimator(grays, transform_mode, decimation=decimation)
+                if decimation > 1
+                else estimator(grays, transform_mode)
+            )
+        matrices, modes_used, confidences, residuals = sticky_select(transform_mode, fits)
+        if working_size is not None:
+            matrices = G.rescale_transforms_to_full(matrices, (width, height), working_size)
+        extra_meta.update(fits.extra_meta)
+        active_mode = modes_used[-1] if modes_used else transform_mode
+        _tick(estimation_steps, progress_total)
 
-    diffs = target_path - path
-    delta_params_full = diffs.copy()
+        delta_params = G.matrices_to_params(matrices, base_mode)
+        path = G.integrate_path(delta_params)
+
+        strength = float(np.clip(strength, 0.0, 1.0))
+        smooth = float(np.clip(smooth, 0.0, 1.0))
+
+        if camera_lock:
+            smooth = max(smooth, 0.85)
+            target_path = np.zeros_like(path)
+        else:
+            smoothed = G.smooth_path(path, smooth, fps_effective)
+            target_path = path + strength * (smoothed - path)
+
+        diffs = target_path - path
+        delta_params_full = diffs.copy()
 
     keep_fov_clamped = float(np.clip(keep_fov, 0.0, 1.0))
     keep_fov_applied = framing_mode == "crop" and keep_fov_clamped > 1e-6
@@ -352,11 +380,17 @@ def stabilize_clip(
             safety_shrink_px=1,
             interrupt_check=interrupt_check,
         )
+    elif fast is not None:
+        apply_matrices = fast["apply_matrices"]
+        final_matrices = fast["final_matrices"]
     else:
         apply_matrices = G.params_to_matrices(delta_params_full, base_mode)
         final_matrices = apply_matrices
 
-    mins, maxs = G.compute_bounding_boxes(apply_matrices, width, height)
+    if fast is not None:
+        mins, maxs = fast["mins"], fast["maxs"]
+    else:
+        mins, maxs = G.compute_bounding_boxes(apply_matrices, width, height)
 
     framing_meta: Dict[str, Any] = {
         "mode": framing_mode,
@@ -384,10 +418,13 @@ def stabilize_clip(
         x0, y0, x1, y1 = G.intersection_box(mins, maxs)
         intersection_w = max(1.0, x1 - x0)
         intersection_h = max(1.0, y1 - y0)
-        offset_x = width * 0.5 - (x0 + x1) * 0.5
-        offset_y = height * 0.5 - (y0 + y1) * 0.5
-        translate = G.translation_matrix(offset_x, offset_y).astype(np.float64)
-        final_matrices = np.einsum("ij,njk->nik", translate, np.asarray(apply_matrices, np.float64)).astype(np.float32)
+        if fast is not None:
+            offset_x, offset_y = fast["center_offset"]
+        else:
+            offset_x = width * 0.5 - (x0 + x1) * 0.5
+            offset_y = height * 0.5 - (y0 + y1) * 0.5
+            translate = G.translation_matrix(offset_x, offset_y).astype(np.float64)
+            final_matrices = np.einsum("ij,njk->nik", translate, np.asarray(apply_matrices, np.float64)).astype(np.float32)
         framing_meta.update(
             {
                 "safe_region_origin": [x0, y0],
@@ -416,7 +453,12 @@ def stabilize_clip(
     border = np.asarray(padding_rgb, np.float32) / 255.0
     out_w_i, out_h_i = int(output_size[0]), int(output_size[1])
     with timer.stage("warp"):
-        if not W.will_stream(total_frames, height, width, out_h_i, out_w_i):
+        if fast is not None:
+            # already dispatched (and its stats fetched) by the fast path
+            stabilized = fast["stabilized"]
+            padding_masks = fast["padding_masks"]
+            ratios_dev = fast["padded_ratios"]
+        elif not W.will_stream(total_frames, height, width, out_h_i, out_w_i):
             # masks + per-frame stats are queued BEFORE the frame warp
             # (device streams run in dispatch order), so the stats
             # round-trip below overlaps the warp instead of following it

@@ -1,0 +1,142 @@
+"""Zero-sync fast path (models/fastpath.py) vs the exact host engine.
+
+The fast path moves sticky-mode selection, trajectory integration,
+fps smoothing and the crop_and_pad recenter onto the device in float32
+and inverts the final matrices on device.  Forced on here via
+CVST_FASTPATH=1 (the CPU default keeps the host path and its bit-exact
+replay contract); the gates below bound the f32-vs-f64 drift far under
+the 1e-3 oracle contract (BASELINE.md).
+"""
+
+import numpy as np
+import pytest
+
+from comfyui_video_stabilizer_tpu.models import flow as FL
+from comfyui_video_stabilizer_tpu.models import motion_apply as MA
+from comfyui_video_stabilizer_tpu.ops import warp as W
+from comfyui_video_stabilizer_tpu.utils.video_io import normalize_video_input
+
+GRAY = (127, 127, 127)
+
+
+@pytest.fixture()
+def fastpath_on(monkeypatch):
+    monkeypatch.setenv("CVST_FASTPATH", "1")
+    monkeypatch.setenv("CVST_FASTPATH_STRICT", "1")
+    # the fast path must actually RUN (None would silently compare
+    # host-vs-host below)
+    from comfyui_video_stabilizer_tpu.models import fastpath as FP
+
+    taken = {"n": 0}
+    orig = FP.run_flow_fast
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        if r is not None:
+            taken["n"] += 1
+        return r
+
+    monkeypatch.setattr(FP, "run_flow_fast", spy)
+    import comfyui_video_stabilizer_tpu.models.flow as _FL
+
+    def hook(frames, grays, *a, **k):
+        return spy(frames, grays, *a, **k)
+
+    monkeypatch.setattr(_FL.flow_estimator, "fast_crop_and_pad", hook,
+                        raising=False)
+    yield taken
+
+
+def _shaken_clip(n=8, h=144, w=256, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.random((h + 80, w + 80), np.float32)
+    base = 0.5 * base + 0.25 * (np.roll(base, 1, 0) + np.roll(base, 1, 1))
+    img = np.stack([base, base * 0.8 + 0.1, 1.0 - base], axis=-1)
+    mats = [np.eye(3)]
+    for i in range(1, n):
+        th = rng.uniform(-0.008, 0.008)
+        t = rng.uniform(-2.5, 2.5, 2)
+        d = np.array([[np.cos(th), -np.sin(th), t[0]],
+                      [np.sin(th), np.cos(th), t[1]], [0, 0, 1.0]])
+        mats.append(d @ mats[-1])
+    crop = np.eye(3)
+    crop[0, 2] = crop[1, 2] = -40
+    view = np.stack([crop @ np.linalg.inv(m) for m in mats])
+    frames = np.asarray(W.warp_clip(
+        np.repeat(np.clip(img, 0, 1)[None], n, 0), view, (w, h), "bilinear",
+        (0.5, 0.5, 0.5)))
+    return frames
+
+
+def _run(frames, **kw):
+    import jax.numpy as jnp
+
+    args = dict(framing_mode="crop_and_pad", transform_mode="similarity",
+                camera_lock=False, strength=0.8, smooth=0.6, keep_fov=0.6,
+                padding_rgb=GRAY, frame_rate=24.0)
+    args.update(kw)
+    ctx = normalize_video_input(jnp.asarray(frames))
+    return FL.stabilize_flow(ctx, **args)
+
+
+@pytest.mark.parametrize("mode,lock", [("similarity", False),
+                                       ("translation", False),
+                                       ("perspective", False),
+                                       ("similarity", True)])
+def test_fastpath_matches_host_engine(fastpath_on, monkeypatch, mode, lock):
+    frames = _shaken_clip(seed=3)
+    res_fast = _run(frames, transform_mode=mode, camera_lock=lock)
+    assert fastpath_on["n"] == 1, "fast path did not run"
+    monkeypatch.setenv("CVST_FASTPATH", "0")
+    res_host = _run(frames, transform_mode=mode, camera_lock=lock)
+
+    # same pipeline decisions
+    mh = res_host.meta
+    mf = res_fast.meta
+    assert mf["transform_mode_applied"] == mh["transform_mode_applied"]
+    assert [t["mode"] for t in mf["estimated_motion"]["per_transition"]] == \
+        [t["mode"] for t in mh["estimated_motion"]["per_transition"]]
+    assert mf["flow_backend"] == "DIS"
+    assert set(mf["framing"].keys()) == set(mh["framing"].keys())
+
+    # f32 trajectory vs f64: matrices and paths agree to ~1e-4
+    np.testing.assert_allclose(
+        np.asarray(mf["estimated_motion"]["path"]),
+        np.asarray(mh["estimated_motion"]["path"]), atol=1e-3)
+    fa = np.array([f["applied_matrix"] for f in mf["stabilization_warp"]["per_frame"]])
+    ha = np.array([f["applied_matrix"] for f in mh["stabilization_warp"]["per_frame"]])
+    np.testing.assert_allclose(fa, ha, atol=2e-3)
+
+    # pixel output within the oracle contract
+    df = np.asarray(res_fast.frames, np.float32)
+    dh = np.asarray(res_host.frames, np.float32)
+    assert np.abs(df - dh).max() < 1e-2
+    assert np.quantile(np.abs(df - dh), 0.99) < 1e-3
+    np.testing.assert_allclose(np.asarray(res_fast.masks),
+                               np.asarray(res_host.masks), atol=1e-3)
+
+
+def test_fastpath_replay_round_trip(fastpath_on):
+    """Motion Apply replay of fast-path meta reproduces the fast-path
+    output (host f64 re-inversion of the fetched f32 matrices agrees
+    with the device Newton inverse to ~1 ulp -> sub-1e-4-px warps)."""
+    frames = _shaken_clip(seed=5)
+    res = _run(frames)
+    assert fastpath_on["n"] == 1, "fast path did not run"
+    import jax.numpy as jnp
+    replay = MA.apply_motion(
+        normalize_video_input(jnp.asarray(frames)), res.meta, GRAY)
+    d = np.abs(np.asarray(replay.frames, np.float32)
+               - np.asarray(res.frames, np.float32))
+    assert d.max() < 1e-3, float(d.max())
+    dm = np.abs(np.asarray(replay.masks) - np.asarray(res.masks))
+    assert dm.max() < 1e-3
+
+
+def test_fastpath_falls_back_for_other_framings(fastpath_on):
+    """crop / expand must keep the exact host path (and still work)."""
+    frames = _shaken_clip(n=6, seed=7)
+    res = _run(frames, framing_mode="expand")
+    assert res.meta["framing"]["expanded_size"][0] >= frames.shape[2]
+    res = _run(frames, framing_mode="crop")
+    assert res.meta["padding_fraction_max"] <= 1e-6
