@@ -122,6 +122,33 @@ def classic_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) 
     )
 
 
+def _classic_fast_crop_and_pad(frames, grays, transform_mode, camera_lock,
+                               strength, smooth, fps, size, working_size,
+                               decimation, padding_rgb):
+    """Engine hook: zero-sync device pipeline for crop_and_pad (see
+    models/fastpath.py).  Returns None to fall back to the host path."""
+    import logging
+    import os
+
+    from . import fastpath
+
+    try:
+        return fastpath.run_classic_fast(
+            frames, grays, transform_mode, camera_lock, strength, smooth,
+            fps, size, working_size, decimation, padding_rgb,
+        )
+    except Exception:
+        if os.environ.get("CVST_FASTPATH_STRICT"):
+            raise
+        logging.getLogger(__name__).debug(
+            "fast path failed; using host engine", exc_info=True
+        )
+        return None
+
+
+classic_estimator.fast_crop_and_pad = _classic_fast_crop_and_pad
+
+
 def stabilize_classic(
     context: VideoContext,
     framing_mode: G.FramingMode,

@@ -48,7 +48,9 @@ import numpy as np
 
 PERSP_MIN_RATIO = 0.15
 SIM_MIN_RATIO = 0.1
-MIN_VALID = 12
+MIN_VALID = 12           # flow: min valid grid samples (models/flow.py)
+CL_MIN_FEATURES = 12     # classic: min detected corners (models/classic.py)
+CL_MIN_TRACKS = 8        # classic: min surviving LK tracks
 
 _MODE_IDX = {"perspective": 0, "similarity": 1, "translation": 2}
 _MODE_NAMES = ("perspective", "similarity", "translation")
@@ -186,25 +188,36 @@ def _span_guard(coeffs: jnp.ndarray, plan: Tuple[int, ...]) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "want_persp", "camera_lock", "window",
+    static_argnames=("kind", "mode", "want_persp", "camera_lock", "window",
                      "width", "height", "scale_xy", "total_pts", "plan"),
 )
 def _traj_crop_and_pad(
     strength, *fits,
-    mode, want_persp, camera_lock, window, width, height, scale_xy,
+    kind, mode, want_persp, camera_lock, window, width, height, scale_xy,
     total_pts, plan,
 ):
     it = iter(fits)
-    valid_counts = next(it)
-    b = valid_counts.shape[0]
-    deg = valid_counts < MIN_VALID
     eye = jnp.eye(3, dtype=jnp.float32)
 
+    # --- estimator-specific fits unpack + acceptance flags -----------
+    if kind == "flow":
+        gate_counts = next(it)  # valid grid samples per pair
+        b = gate_counts.shape[0]
+        deg = gate_counts < MIN_VALID
+        n_per_fit = 4  # (M, n_inliers, n_valid, residual)
+    else:  # classic (sparse tracks); no residual diagnostics
+        det_counts = next(it)
+        gate_counts = next(it)  # surviving tracks per pair
+        b = gate_counts.shape[0]
+        deg = (det_counts < CL_MIN_FEATURES) | (gate_counts < CL_MIN_TRACKS)
+        n_per_fit = 3
+
     def fit_block(thresh_pts, min_ratio):
-        M, n_in, n_valid, r = next(it), next(it), next(it), next(it)
+        M, n_in, n_valid = next(it), next(it), next(it)
+        r = next(it) if n_per_fit == 4 else jnp.zeros(b, jnp.float32)
         conf = jnp.where(n_valid > 0, n_in / jnp.maximum(n_valid, 1), 0.0)
         ok = (jnp.isfinite(M).all(axis=(1, 2))
-              & (valid_counts >= thresh_pts) & (conf >= min_ratio))
+              & (gate_counts >= thresh_pts) & (conf >= min_ratio))
         return M.astype(jnp.float32), conf.astype(jnp.float32), r.astype(jnp.float32), ok
 
     if want_persp:
@@ -214,8 +227,17 @@ def _traj_crop_and_pad(
         cp = rp = jnp.zeros(b, jnp.float32)
         op_ = jnp.zeros(b, bool)
     Ms, cs, rs, os_ = fit_block(3, SIM_MIN_RATIO)
-    Mt, rt = next(it).astype(jnp.float32), next(it).astype(jnp.float32)
-    ct = valid_counts.astype(jnp.float32) / max(total_pts, 1)
+    Mt = next(it).astype(jnp.float32)
+    if kind == "flow":
+        rt = next(it).astype(jnp.float32)
+        ct = gate_counts.astype(jnp.float32) / max(total_pts, 1)
+    else:
+        rt = jnp.zeros(b, jnp.float32)
+        ct = jnp.where(
+            det_counts > 0,
+            gate_counts.astype(jnp.float32) / jnp.maximum(det_counts, 1),
+            0.0,
+        )
 
     acc3 = jnp.stack([op_, os_, jnp.ones(b, bool)], axis=1)  # (B, 3)
 
@@ -401,10 +423,99 @@ def run_flow_fast(
 
     out = _traj_crop_and_pad(
         jnp.float32(strength_c), *fits,
-        mode=transform_mode, want_persp=want_persp, camera_lock=camera_lock,
-        window=window, width=width, height=height, scale_xy=scale_xy,
-        total_pts=total_pts, plan=plan_key,
+        kind="flow", mode=transform_mode, want_persp=want_persp,
+        camera_lock=camera_lock, window=window, width=width, height=height,
+        scale_xy=scale_xy, total_pts=total_pts, plan=plan_key,
     )
+
+    return _dispatch_and_collect(
+        frames, out, plan, want_persp, width, height, padding_rgb,
+        extra_meta={"flow_backend": "DIS", "flow_fallback_reason": None},
+        strength_c=strength_c, smooth_c=smooth_c, has_resid=True,
+    )
+
+
+def run_classic_fast(
+    frames,
+    grays,
+    transform_mode: str,
+    camera_lock: bool,
+    strength: float,
+    smooth: float,
+    fps: float,
+    size: Tuple[int, int],
+    working_size,
+    decimation: int,
+    padding_rgb: Tuple[int, int, int],
+    seed: int = 0,
+) -> Dict | None:
+    """Classic-estimator twin of run_flow_fast: GFTT + pyramidal LK +
+    fused RANSAC fits queue straight into the shared trajectory
+    program — the corner/track tensors never visit the host."""
+    from ..ops import lk as LK
+    from ..ops import ransac as RS
+    from ..ops import warp as W
+    from . import classic as CL
+    from . import geometry as G
+
+    if not enabled():
+        return None
+    width, height = int(size[0]), int(size[1])
+    if getattr(frames, "ndim", 0) != 4 or frames.shape[-1] != 3:
+        return None
+    n = int(frames.shape[0])
+    if W.will_stream(n, height, width, height, width) or n < 2:
+        return None
+    frames = W._device_frames(frames)
+
+    want_persp = transform_mode == "perspective"
+    try:
+        pts, det_counts = LK.gftt_batch(grays[:-1])
+        pyr = LK.gaussian_pyramid(grays)
+        tracked, status = LK.lk_track(
+            [lvl[:-1] for lvl in pyr], [lvl[1:] for lvl in pyr], pts, det_counts
+        )
+        fits = CL._fused_classic_fits(
+            jnp.asarray(pts), tracked, status, seed, want_persp,
+            RS.DEFAULT_HYPOTHESES,
+        )
+    except Exception:
+        return None
+
+    if working_size is not None:
+        scale_xy = (working_size[0] / float(width), working_size[1] / float(height))
+    else:
+        scale_xy = (1.0, 1.0)
+    strength_c = float(np.clip(strength, 0.0, 1.0))
+    smooth_c = float(np.clip(smooth, 0.0, 1.0))
+    if camera_lock:
+        smooth_c = max(smooth_c, 0.85)
+    window = G.smoothing_window(smooth_c, fps) if smooth_c > 0.0 else 0
+    plan = _speculative_plan(height, width, height, width, affine=not want_persp)
+    plan_key = (plan["k"], plan["th"], plan["tw"], plan["n_th"], plan["n_tw"],
+                plan["sub"], plan["margin"], plan["extra"])
+
+    out = _traj_crop_and_pad(
+        jnp.float32(strength_c), det_counts, *fits,
+        kind="classic", mode=transform_mode, want_persp=want_persp,
+        camera_lock=camera_lock, window=window, width=width, height=height,
+        scale_xy=scale_xy, total_pts=1, plan=plan_key,
+    )
+    return _dispatch_and_collect(
+        frames, out, plan, want_persp, width, height, padding_rgb,
+        extra_meta={}, strength_c=strength_c, smooth_c=smooth_c,
+        has_resid=False,
+    )
+
+
+def _dispatch_and_collect(
+    frames, out, plan, want_persp, width, height, padding_rgb, *,
+    extra_meta, strength_c, smooth_c, has_resid,
+):
+    """Queue stats + the speculative warp, then do the single
+    (warp-overlapped) diagnostics fetch and build the host-value dict
+    the engine's meta assembly consumes."""
+    from ..ops import warp as W
 
     # stats queued before the warp so their fetch overlaps warp compute
     masks, ratios = W._padding_stats_xla(
@@ -445,7 +556,7 @@ def run_flow_fast(
         matrices=np.asarray(matrices, np.float32),
         modes_used=modes_used,
         confidences=[float(v) for v in conf],
-        residuals=[float(v) for v in resid],
+        residuals=[float(v) for v in resid] if has_resid else None,
         path=np.asarray(path, np.float64),
         target_path=np.asarray(target, np.float64),
         diffs=np.asarray(diffs, np.float64),
@@ -457,7 +568,7 @@ def run_flow_fast(
         stabilized=stabilized,
         padding_masks=masks,
         padded_ratios=np.asarray(ratios_np),
-        extra_meta={"flow_backend": "DIS", "flow_fallback_reason": None},
+        extra_meta=extra_meta,
         strength=strength_c,
         smooth=smooth_c,
     )

@@ -140,3 +140,47 @@ def test_fastpath_falls_back_for_other_framings(fastpath_on):
     assert res.meta["framing"]["expanded_size"][0] >= frames.shape[2]
     res = _run(frames, framing_mode="crop")
     assert res.meta["padding_fraction_max"] <= 1e-6
+
+
+def test_fastpath_classic_matches_host_engine(monkeypatch):
+    """Classic-estimator fast path vs host engine (same gates as flow)."""
+    from comfyui_video_stabilizer_tpu.models import classic as C
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("CVST_FASTPATH", "1")
+    monkeypatch.setenv("CVST_FASTPATH_STRICT", "1")
+    from comfyui_video_stabilizer_tpu.models import fastpath as FP
+
+    taken = {"n": 0}
+    orig = FP.run_classic_fast
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        if r is not None:
+            taken["n"] += 1
+        return r
+
+    monkeypatch.setattr(FP, "run_classic_fast", spy)
+
+    frames = _shaken_clip(seed=11)
+    ctx = normalize_video_input(jnp.asarray(frames))
+    res_fast = C.stabilize_classic(ctx, "crop_and_pad", "similarity", False,
+                                   0.8, 0.6, 0.6, GRAY, 24.0)
+    assert taken["n"] == 1, "classic fast path did not run"
+    monkeypatch.setenv("CVST_FASTPATH", "0")
+    res_host = C.stabilize_classic(ctx, "crop_and_pad", "similarity", False,
+                                   0.8, 0.6, 0.6, GRAY, 24.0)
+
+    mh, mf = res_host.meta, res_fast.meta
+    assert mf["transform_mode_applied"] == mh["transform_mode_applied"]
+    pt_f = mf["estimated_motion"]["per_transition"]
+    pt_h = mh["estimated_motion"]["per_transition"]
+    assert [t["mode"] for t in pt_f] == [t["mode"] for t in pt_h]
+    assert ("residual" in pt_f[0]) == ("residual" in pt_h[0])
+    np.testing.assert_allclose(
+        np.asarray(mf["estimated_motion"]["path"]),
+        np.asarray(mh["estimated_motion"]["path"]), atol=1e-3)
+    df = np.asarray(res_fast.frames, np.float32)
+    dh = np.asarray(res_host.frames, np.float32)
+    assert np.abs(df - dh).max() < 1e-2
+    assert np.quantile(np.abs(df - dh), 0.99) < 1e-3
