@@ -68,6 +68,22 @@ def enabled() -> bool:
         return False
 
 
+def _mesh_active(frames) -> bool:
+    """True under a sharding mesh / with multi-device inputs: the
+    production sharded engines (parallel/production.py) run the host
+    path, whose estimation+warp programs GSPMD partitions — the fast
+    path's speculative Pallas launch is a single-device program."""
+    try:
+        if not jax.sharding.get_abstract_mesh().empty:
+            return True
+    except Exception:
+        pass
+    try:
+        return len(frames.sharding.device_set) > 1
+    except Exception:
+        return False
+
+
 # ---------------------------------------------------------------------------
 # Device math helpers (float32 ports of models/geometry.py)
 # ---------------------------------------------------------------------------
@@ -382,6 +398,8 @@ def run_flow_fast(
     n = int(frames.shape[0])
     if W.will_stream(n, height, width, height, width) or n < 2:
         return None
+    if _mesh_active(frames):
+        return None
     # same single upload the host path pays at warp time (no-op for
     # device-resident clips)
     frames = W._device_frames(frames)
@@ -465,6 +483,8 @@ def run_classic_fast(
         return None
     n = int(frames.shape[0])
     if W.will_stream(n, height, width, height, width) or n < 2:
+        return None
+    if _mesh_active(frames):
         return None
     frames = W._device_frames(frames)
 

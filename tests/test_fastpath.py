@@ -184,3 +184,34 @@ def test_fastpath_classic_matches_host_engine(monkeypatch):
     dh = np.asarray(res_host.frames, np.float32)
     assert np.abs(df - dh).max() < 1e-2
     assert np.quantile(np.abs(df - dh), 0.99) < 1e-3
+
+
+def test_fastpath_defers_to_sharded_production(monkeypatch):
+    """Under an active mesh the engine must take the host path even
+    with the fast path force-enabled (the sharded production engines
+    rely on GSPMD partitioning the host path's programs)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from comfyui_video_stabilizer_tpu.parallel import production as PR
+
+    monkeypatch.setenv("CVST_FASTPATH", "1")
+    monkeypatch.setenv("CVST_FASTPATH_STRICT", "1")
+    from comfyui_video_stabilizer_tpu.models import fastpath as FP
+
+    taken = {"n": 0}
+    orig = FP.run_flow_fast
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        if r is not None:
+            taken["n"] += 1
+        return r
+
+    monkeypatch.setattr(FP, "run_flow_fast", spy)
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("data",))
+    frames = _shaken_clip(n=8, h=64, w=96, seed=13)
+    res = PR.stabilize_flow_sharded(frames, mesh)
+    assert taken["n"] == 0, "fast path must not engage under a mesh"
+    assert np.isfinite(np.asarray(res.frames)).all()
