@@ -122,7 +122,7 @@ def classic_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) 
     )
 
 
-def _classic_fast_crop_and_pad(frames, grays, transform_mode, camera_lock,
+def _classic_fast_crop_and_pad(frames, transform_mode, camera_lock,
                                strength, smooth, fps, size, working_size,
                                decimation, padding_rgb):
     """Engine hook: zero-sync device pipeline for crop_and_pad (see
@@ -134,7 +134,7 @@ def _classic_fast_crop_and_pad(frames, grays, transform_mode, camera_lock,
 
     try:
         return fastpath.run_classic_fast(
-            frames, grays, transform_mode, camera_lock, strength, smooth,
+            frames, transform_mode, camera_lock, strength, smooth,
             fps, size, working_size, decimation, padding_rgb,
         )
     except Exception:

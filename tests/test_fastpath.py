@@ -39,8 +39,8 @@ def fastpath_on(monkeypatch):
     monkeypatch.setattr(FP, "run_flow_fast", spy)
     import comfyui_video_stabilizer_tpu.models.flow as _FL
 
-    def hook(frames, grays, *a, **k):
-        return spy(frames, grays, *a, **k)
+    def hook(frames, *a, **k):
+        return spy(frames, *a, **k)
 
     monkeypatch.setattr(_FL.flow_estimator, "fast_crop_and_pad", hook,
                         raising=False)
@@ -215,3 +215,25 @@ def test_fastpath_defers_to_sharded_production(monkeypatch):
     res = PR.stabilize_flow_sharded(frames, mesh)
     assert taken["n"] == 0, "fast path must not engage under a mesh"
     assert np.isfinite(np.asarray(res.frames)).all()
+
+
+def test_ingest_matches_separate_programs():
+    """The fused ingest must reproduce gray_for_estimation (quantized
+    luma + integer-factor pool) and the padded planar source exactly."""
+    import jax.numpy as jnp
+    from comfyui_video_stabilizer_tpu.models import fastpath as FP
+    from comfyui_video_stabilizer_tpu.ops import resize as R
+
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.random((3, 64, 256, 3)).astype(np.float32))
+    for ws, dec in ((None, 1), ((128, 32), 1), ((128, 32), 2)):
+        factors = FP._gray_pool_factors(256, 64, ws, dec)
+        assert factors is not None, (ws, dec)
+        padded, gray = FP._ingest(frames, 8, 128, factors[0], factors[1])
+        ref = np.asarray(R.gray_for_estimation(frames, ws, decimation=dec))
+        np.testing.assert_array_equal(np.asarray(gray), ref)
+        ref_p = np.pad(np.transpose(np.asarray(frames), (0, 3, 1, 2)),
+                       ((0, 0), (0, 0), (8, 8), (128, 128)))
+        np.testing.assert_array_equal(np.asarray(padded), ref_p)
+    # non-integer working resize must refuse the pooled ingest
+    assert FP._gray_pool_factors(1200, 500, (960, 400), 1) is None
