@@ -126,7 +126,7 @@ def main() -> None:
 
     mode_applied = run().meta["transform_mode_applied"]
     samples = []
-    for trial in range(5):
+    for trial in range(7):
         # settle the relay between trials: back-to-back runs queue
         # behind the previous run's D2H traffic in the development
         # tunnel and measure its backpressure (208 vs a stable 430 f/s
