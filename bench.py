@@ -146,6 +146,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # dev-tunnel jitter mitigation: if the spread is pathological
+    # (occasional multi-hundred-ms relay stalls), sample more and take
+    # the median of everything — a neutral rule independent of the
+    # result's value.
+    if (max(samples) - min(samples)) / max(np.median(samples), 1e-9) > 0.25:
+        print("high trial spread; sampling 4 extra trials...", file=sys.stderr)
+        for trial in range(4):
+            time.sleep(2.0)
+            t0 = time.perf_counter()
+            run()
+            elapsed = time.perf_counter() - t0
+            samples.append(n / elapsed)
+            print(f"extra trial {trial}: {elapsed:.2f}s -> {samples[-1]:.1f} f/s",
+                  file=sys.stderr)
+
     median = float(np.median(samples))
     print(
         json.dumps(
