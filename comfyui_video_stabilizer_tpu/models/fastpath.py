@@ -402,9 +402,15 @@ def _speculative_plan(out_h: int, out_w: int, in_h: int, in_w: int,
                       affine: bool):
     """Fixed bilinear Pallas plan for the speculative dispatch.
 
-    k=6 over 64x256 tiles tolerates a ~3 px displacement span per tile
-    (margin rules of ops/warp_pallas.py::_plan) — ample for smoothing
-    corrections; the device guard re-checks the real coefficients."""
+    k=6 over 64x256 tiles tolerates a ~3 px per-tile displacement span
+    (margin rules of ops/warp_pallas.py::_plan) — which real smoothing
+    corrections DO reach: the bench clip's correction field spans
+    exactly 3 px per tile, so lower-K variants (k=4 runs ~58 vs 90 ms
+    at 1080p/96f) reject it; sweeping smaller tiles bought <10% before
+    spans stopped fitting.  The device guard re-checks the actual
+    coefficients against this exact plan; on a guard miss the engine
+    re-warps once through the host planner (warp-only — the fetched
+    trajectory is kept)."""
     from ..ops import warp_pallas as WP
 
     k, th, tw = 6, 64, 256
@@ -643,7 +649,19 @@ def _dispatch_and_collect(
     (guard, chosen, conf, resid, matrices, path, target, diffs,
      apply_m, final, mins, maxs, offsets, degenerate, ratios_np) = diag
     if use_pallas and not bool(guard):
-        return None  # wild corrections: replan via the exact host path
+        # Wild corrections for the speculative plan: the fetched
+        # trajectory stands — only the WARP re-runs through the host
+        # planner (which picks a fitting K variant or the XLA path),
+        # with masks/ratios recomputed from the same host matrices so
+        # all three outputs share one coefficient set.
+        final64 = np.asarray(final, np.float64)
+        masks, ratios_dev = W.padding_mask_stats(
+            final64, (width, height), (width, height)
+        )
+        stabilized = W.warp_clip(
+            frames, final64, (width, height), "bilinear", border
+        )
+        ratios_np = np.asarray(ratios_dev)
 
     modes_used = [_MODE_NAMES[int(i)] for i in chosen]
     return dict(

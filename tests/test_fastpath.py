@@ -237,3 +237,60 @@ def test_ingest_matches_separate_programs():
         np.testing.assert_array_equal(np.asarray(padded), ref_p)
     # non-integer working resize must refuse the pooled ingest
     assert FP._gray_pool_factors(1200, 500, (960, 400), 1) is None
+
+
+def test_fastpath_guard_miss_rewarps_on_host(monkeypatch):
+    """Corrections too wild for the speculative plan must trigger the
+    warp-only host replan (trajectory kept), not garbage output."""
+    import functools
+    import jax.numpy as jnp
+    import comfyui_video_stabilizer_tpu.ops.warp as OW
+    import comfyui_video_stabilizer_tpu.ops.warp_pallas as OWP
+    from comfyui_video_stabilizer_tpu.models import fastpath as FP
+
+    monkeypatch.setenv("CVST_FASTPATH", "1")
+    monkeypatch.setenv("CVST_FASTPATH_STRICT", "1")
+    # pretend we're on an accelerator; the speculative Pallas call runs
+    # in interpret mode on CPU
+    monkeypatch.setattr(OW, "_use_pallas", lambda interp: True)
+    real_call = OWP._warp_pallas_call
+    calls = {"spec": 0, "stats": 0}
+
+    def interp_call(*a, **k):
+        calls["spec"] += 1
+        k["interpret"] = True
+        return real_call(*a, **k)
+
+    monkeypatch.setattr(OWP, "_warp_pallas_call", interp_call)
+    real_stats = OW.padding_mask_stats
+
+    def spy_stats(*a, **k):
+        calls["stats"] += 1
+        return real_stats(*a, **k)
+
+    monkeypatch.setattr(OW, "padding_mask_stats", spy_stats)
+
+    # violent rotation shake: camera-lock corrections rotate ~0.2 rad,
+    # far beyond every Pallas K variant (host planner falls to XLA)
+    rng = np.random.default_rng(17)
+    base = rng.random((304, 416), np.float32)
+    img = np.stack([base, base * 0.7, 1.0 - base], -1)
+    mats = [np.eye(3)]
+    for i in range(1, 6):
+        th = 0.2 if i % 2 else -0.2
+        c = np.eye(3)
+        c[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+        mats.append(c @ mats[-1])
+    crop = np.eye(3); crop[0, 2] = crop[1, 2] = -80
+    view = np.stack([crop @ np.linalg.inv(m) for m in mats])
+    frames = np.asarray(W.warp_clip(np.repeat(img[None], 6, 0), view,
+                                    (256, 144), "bilinear", (0.5, 0.5, 0.5)))
+
+    res_fast = _run(frames, camera_lock=True, strength=1.0)
+    assert calls["spec"] == 1
+    assert calls["stats"] >= 1, "host replan must recompute mask stats"
+    monkeypatch.setenv("CVST_FASTPATH", "0")
+    res_host = _run(frames, camera_lock=True, strength=1.0)
+    df = np.asarray(res_fast.frames, np.float32)
+    dh = np.asarray(res_host.frames, np.float32)
+    assert np.quantile(np.abs(df - dh), 0.99) < 5e-3
