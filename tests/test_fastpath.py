@@ -164,11 +164,11 @@ def test_fastpath_classic_matches_host_engine(monkeypatch):
 
     frames = _shaken_clip(seed=11)
     ctx = normalize_video_input(jnp.asarray(frames))
-    res_fast = C.stabilize_classic(ctx, "crop_and_pad", "similarity", False,
+    res_fast = C.stabilize_classic(ctx, "crop_and_pad", "perspective", False,
                                    0.8, 0.6, 0.6, GRAY, 24.0)
     assert taken["n"] == 1, "classic fast path did not run"
     monkeypatch.setenv("CVST_FASTPATH", "0")
-    res_host = C.stabilize_classic(ctx, "crop_and_pad", "similarity", False,
+    res_host = C.stabilize_classic(ctx, "crop_and_pad", "perspective", False,
                                    0.8, 0.6, 0.6, GRAY, 24.0)
 
     mh, mf = res_host.meta, res_fast.meta
