@@ -296,12 +296,6 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
         ox_al = org[cur, 1]
         oy_c = org[cur, 2]
         ox_c = org[cur, 3]
-        # Roll amounts NORMALIZED to [0, size): Mosaic/libtpu (0.0.34)
-        # miscompiles dynamic sublane rolls with negative amounts on
-        # device (interpret mode is fine) — measured: amounts in
-        # [-wh, -3] read garbage.  rem twice = true floored modulo.
-        ry = jax.lax.rem(jax.lax.rem(oy_al - oy_c, wh) + wh, wh)
-        rx = jax.lax.rem(jax.lax.rem(ox_al - ox_c, ww) + ww, ww)
 
         ylo = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
         xlo = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
@@ -342,6 +336,31 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
         ex = (tx * tw) + fdx.astype(jnp.int32) + tap_start + pad_x - ox_c
         ey = (ty * th) + fdy.astype(jnp.int32) + tap_start + pad_y - oy_c
 
+        # Per-tile MINIMUM tap offsets fold into the alignment rolls for
+        # free (the rolls are dynamic anyway), re-origining the offsets
+        # to [0, span].  Most stabilization tiles then fit the reduced
+        # k_fast tap loop below — (taps+2)^2 slice-FMAs instead of k^2 —
+        # selected per tile by the ACTUAL offset spread, so the fast
+        # branch is exact by construction (skipped taps carry zero
+        # weight mass identically).
+        # clamped to the sane [0, k-taps] range: a pathological pixel
+        # (zero-denominator clip to +-lim) must not re-origin the whole
+        # tile — with the clamp such tiles keep the pre-shift behavior
+        # (its own taps carry zero weight either way)
+        ey_min = jnp.clip(jnp.min(ey), 0, k - taps)
+        ex_min = jnp.clip(jnp.min(ex), 0, k - taps)
+        ey_spread = jnp.max(ey) - ey_min
+        ex_spread = jnp.max(ex) - ex_min
+        ey = ey - ey_min
+        ex = ex - ex_min
+
+        # Roll amounts NORMALIZED to [0, size): Mosaic/libtpu (0.0.34)
+        # miscompiles dynamic sublane rolls with negative amounts on
+        # device (interpret mode is fine) — measured: amounts in
+        # [-wh, -3] read garbage.  rem twice = true floored modulo.
+        ry = jax.lax.rem(jax.lax.rem(oy_al - oy_c - ey_min, wh) + wh, wh)
+        rx = jax.lax.rem(jax.lax.rem(ox_al - ox_c - ex_min, ww) + ww, ww)
+
         if interp == "bicubic":
             wx_tap = [_cubic_w(fx, i) for i in range(4)]
             wy_tap = [_cubic_w(fy, i) for i in range(4)]
@@ -349,8 +368,8 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
             wx_tap = [1.0 - fx, fx]
             wy_tap = [1.0 - fy, fy]
 
-        def axis_weights(e0, base, size, w_tap):
-            # weight mass landing on each window offset kk in [0, k);
+        def axis_weights(e0, base, size, w_tap, kn):
+            # weight mass landing on each window offset kk in [0, kn);
             # out-of-image taps are zeroed once (per tap, not per kk)
             masked = []
             for t in range(taps):
@@ -358,7 +377,7 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
                 val = (tap_coord >= 0) & (tap_coord <= size - 1)
                 masked.append(jnp.where(val, w_tap[t], 0.0))
             ws = []
-            for kk in range(k):
+            for kk in range(kn):
                 out = None
                 for t in range(taps):
                     m = jnp.where(e0 + t == kk, masked[t], 0.0)
@@ -370,43 +389,59 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
 
         # Two dynamic rolls remove both residuals (lane roll for the
         # 0..127 column residual, sublane roll for the 0..7 row
-        # residual), so the tap loop below runs exactly k static-slice
-        # iterations with no guards and accumulates in vregs.  Clamped
-        # (image-edge) origins never have valid taps (pad_y == wh), so
-        # their garbage window contents carry zero weight.
+        # residual) AND the per-tile minimum tap offset, so the tap
+        # loops below run static-slice iterations with no guards and
+        # accumulate in vregs.  Clamped (image-edge) origins never have
+        # valid taps (pad_y == wh), so their garbage window contents
+        # carry zero weight.
         for ch in range(channels):
             rolled[ch] = pltpu.roll(pltpu.roll(win[cur, ch], rx, 1), ry, 0)
 
-        wxs = axis_weights(ex, ix, in_w, wx_tap)
-        wys = axis_weights(ey, iy, in_h, wy_tap)
-        accs = [None] * channels
-        for kyo in range(k):
-            rows = [None] * channels
-            for kx in range(k):
+        def tap_pass(kn):
+            wxs = axis_weights(ex, ix, in_w, wx_tap, kn)
+            wys = axis_weights(ey, iy, in_h, wy_tap, kn)
+            accs = [None] * channels
+            for kyo in range(kn):
+                rows = [None] * channels
+                for kx in range(kn):
+                    for ch in range(channels):
+                        v = wxs[kx] * rolled[ch, kyo : kyo + th, kx : kx + tw]
+                        rows[ch] = v if rows[ch] is None else rows[ch] + v
                 for ch in range(channels):
-                    v = wxs[kx] * rolled[ch, kyo : kyo + th, kx : kx + tw]
-                    rows[ch] = v if rows[ch] is None else rows[ch] + v
+                    v = wys[kyo] * rows[ch]
+                    accs[ch] = v if accs[ch] is None else accs[ch] + v
+
+            sx = functools.reduce(lambda p, q: p + q, wxs)
+            sy = functools.reduce(lambda p, q: p + q, wys)
+            wsum = sy * sx
             for ch in range(channels):
-                v = wys[kyo] * rows[ch]
-                accs[ch] = v if accs[ch] is None else accs[ch] + v
-
-        sx = functools.reduce(lambda p, q: p + q, wxs)
-        sy = functools.reduce(lambda p, q: p + q, wys)
-        wsum = sy * sx
-        for ch in range(channels):
-            res = accs[ch] + border_ref[ch] * (1.0 - wsum)
-            if n_samples == 1:
-                out_ref[0, ch] = res
-            else:
-                # sample axis is innermost: the output tile stays
-                # resident in VMEM across the S revisits
-                @pl.when(si == 0)
-                def _(ch=ch, res=res):
+                res = accs[ch] + border_ref[ch] * (1.0 - wsum)
+                if n_samples == 1:
                     out_ref[0, ch] = res
+                else:
+                    # sample axis is innermost: the output tile stays
+                    # resident in VMEM across the S revisits
+                    @pl.when(si == 0)
+                    def _(ch=ch, res=res):
+                        out_ref[0, ch] = res
 
-                @pl.when(si > 0)
-                def _(ch=ch, res=res):
-                    out_ref[0, ch] = out_ref[0, ch] + res
+                    @pl.when(si > 0)
+                    def _(ch=ch, res=res):
+                        out_ref[0, ch] = out_ref[0, ch] + res
+
+        k_fast = taps + 2
+        if k_fast < k:
+            fits = (ey_spread + taps <= k_fast) & (ex_spread + taps <= k_fast)
+
+            @pl.when(fits)
+            def _():
+                tap_pass(k_fast)
+
+            @pl.when(jnp.logical_not(fits))
+            def _():
+                tap_pass(k)
+        else:
+            tap_pass(k)
 
     return kernel
 

@@ -115,7 +115,9 @@ def main():
     measure(f"DIS fit solve (dec={dec})", dis_fit)
     samples = dis_fit(0)
     samples.block_until_ready()
-    pts = FL._grid_points(1080 if dec > 1 else 540, 1920 if dec > 1 else 960, FL.SAMPLE_STEP)
+    # samples are decimated-grid flow scaled back to working px; the fit
+    # grid is always the WORKING-res 8-px lattice (models/flow.py)
+    pts = FL._grid_points(540, 960, FL.SAMPLE_STEP)
     import comfyui_video_stabilizer_tpu.ops.ransac as RS
     measure("fused RANSAC fits",
             lambda i: FL._fused_fits_sampled(samples + np.float32(i * 1e-6), pts, 0,

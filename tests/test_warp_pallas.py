@@ -168,3 +168,39 @@ def test_pallas_minimal_pad_geometry_matches_xla():
         np.testing.assert_allclose(
             np.asarray(ours), ref, atol=2e-6,
             err_msg=f"min-pad clamp mismatch at dy={dy} dx={dx}")
+
+
+@pytest.mark.parametrize("rot", [0.002, 0.02])
+def test_pallas_fast_tap_branch_speculative_plan(rot):
+    """Per-tile fast/slow tap branches under a forced k=6 plan.
+
+    The kernel folds each tile's minimum tap offset into the alignment
+    rolls and runs a reduced (taps+2)^2 tap loop when the tile's actual
+    offset spread fits (exact-by-construction: skipped taps carry zero
+    weight).  rot=0.002 drives the fast branch on every tile; rot=0.02
+    pushes some tiles' spread past k_fast so both branches execute in
+    one clip.  Mirrors the fastpath's speculative k=6/64x256 dispatch
+    (models/fastpath.py::_speculative_plan).
+    """
+    import jax.numpy as jnp
+
+    frames = _frames(n=2, h=192, w=512, seed=21)
+    n, h, w = frames.shape[:3]
+    mats = _mats(n, seed=22, rot=rot, t=10.0)
+    coeffs = W.prepare_inverse_coeffs(mats)
+    k, th, tw = 6, 64, 256
+    n_th, n_tw, wh, ww, pad_y, pad_x = WP._geometry(k, th, tw, h, w, h, w)
+    span = WP._max_tile_span(coeffs, th, tw, n_th, n_tw, affine=True)
+    if rot >= 0.02:
+        assert span + 2 > 4, "slow-branch case no longer exercises slow taps"
+    assert span + 1 + 2 <= k, "test warp no longer fits the forced plan"
+    ours = WP._warp_pallas_call(
+        jnp.asarray(frames), jnp.asarray(coeffs, jnp.float32).reshape(-1),
+        jnp.asarray([0.2, 0.4, 0.6], jnp.float32),
+        out_h=h, out_w=w, th=th, tw=tw, wh=wh, ww=ww, k=k,
+        n_th=n_th, n_tw=n_tw, in_h=h, in_w=w, pad_y=pad_y, pad_x=pad_x,
+        channels=3, interp="bilinear", affine=True, interpret=True)
+    ref = np.asarray(
+        W._warp_xla(frames, coeffs.astype(np.float32),
+                    np.asarray([0.2, 0.4, 0.6], np.float32), h, w, "bilinear"))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-6)
