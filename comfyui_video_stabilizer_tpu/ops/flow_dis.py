@@ -118,81 +118,30 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int,
     the dense Gauss-Newton step carries information.
     """
     B, H, Wd = I.shape
-    # normalize to 0..1: the integral-image cumsums stay well inside
-    # float32's exact range even at 4K working sizes
-    I = I * (1.0 / 255.0)
-    Jw = Jw * (1.0 / 255.0)
-    k = 2 * radius + 1
-    pad = radius
-    Jp = jnp.pad(Jw, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    from . import cv_pallas as CVP
 
     agg = _make_agg(patch)
+    # normalize to 0..1: the squared-diff sums stay well inside
+    # float32's exact range even at 4K working sizes
+    In = I * (1.0 / 255.0)
+    Jn = Jw * (1.0 / 255.0)
 
     if lk_only:
-        return _lk_refine(I, Jw, agg)
+        return _lk_refine(In, Jn, agg)
 
     # NOTE: the classic SSD expansion (aggI2 + aggJ2_shifted - 2*cross)
     # is numerically unusable here: after the pre-warp the true costs
     # are ~1e-3 while the expansion cancels ~0.3-magnitude integral
     # sums, so float32 rounding noise swamps the argmin.  The direct
     # form aggregates the (tiny) squared differences and stays exact.
-    # (A batched (B,k,k,H,W) candidate stack was tried to cut the op
-    # count 3x, but the materialized stack + its layout copies measured
-    # SLOWER end-to-end than the unrolled slice+agg chains; keep these.)
-    # Streaming min/argmin over the k*k candidates: the costs are never
-    # stacked into a (B, H, W, k, k) array (whose 49-lane minor axis
-    # tiles at 49/128 utilization); each candidate is one well-tiled
-    # (B, H, W) field folded into running (cmin, best) state.
-    costs = []
-    cmin = None
-    best = None
-    for i, (dy, dx) in enumerate(
-        (dy, dx)
-        for dy in range(-radius, radius + 1)
-        for dx in range(-radius, radius + 1)
-    ):
-        sh = Jp[:, pad + dy : pad + dy + H, pad + dx : pad + dx + Wd]
-        c = agg((I - sh) ** 2)
-        costs.append(c)
-        if cmin is None:
-            cmin, best = c, jnp.zeros(c.shape, jnp.int32)
-        else:
-            take = c < cmin
-            cmin = jnp.where(take, c, cmin)
-            best = jnp.where(take, i, best)
-    by = best // k
-    bx = best - by * k
-
-    # parabolic sub-pixel along each axis around the integer minimum
-    def parab(cm, cl, cr):
-        denom = cl + cr - 2.0 * cm
-        off = jnp.where(denom > 1e-9, 0.5 * (cl - cr) / jnp.maximum(denom, 1e-9), 0.0)
-        return jnp.clip(off, -0.5, 0.5)
-
-    # neighbor costs (best +-1 per axis) by a second streaming pass:
-    # candidate i contributes where i == best + delta (clipped like the
-    # one-hot gather it replaces)
-    tgt_y0 = (jnp.maximum(by - 1, 0) * k) + bx
-    tgt_y1 = (jnp.minimum(by + 1, k - 1) * k) + bx
-    tgt_x0 = by * k + jnp.maximum(bx - 1, 0)
-    tgt_x1 = by * k + jnp.minimum(bx + 1, k - 1)
-    cy0 = jnp.zeros_like(cmin)
-    cy1 = jnp.zeros_like(cmin)
-    cx0 = jnp.zeros_like(cmin)
-    cx1 = jnp.zeros_like(cmin)
-    for i, c in enumerate(costs):
-        cy0 = jnp.where(tgt_y0 == i, c, cy0)
-        cy1 = jnp.where(tgt_y1 == i, c, cy1)
-        cx0 = jnp.where(tgt_x0 == i, c, cx0)
-        cx1 = jnp.where(tgt_x1 == i, c, cx1)
-    suby = parab(cmin, cy0, cy1)
-    subx = parab(cmin, cx0, cx1)
-    # at window edges the clipped neighbor duplicates the center and the
-    # parabola would fabricate a +-0.5 push outward; disable it there
-    suby = jnp.where((by == 0) | (by == k - 1), 0.0, suby)
-    subx = jnp.where((bx == 0) | (bx == k - 1), 0.0, subx)
-    fy = by.astype(jnp.float32) - radius + suby
-    fx = bx.astype(jnp.float32) - radius + subx
+    # The cost volume + streaming argmin + parabolic sub-pixel step run
+    # as ONE Pallas kernel on TPU (all candidates VMEM-resident,
+    # ops/cv_pallas.py) with a bit-exact XLA mirror for CPU and for
+    # levels too large for the whole-level layout.
+    if CVP.use_pallas() and CVP.fits_vmem(H, Wd, radius, patch):
+        fx, fy, cmin = CVP.cost_volume_subpixel(I, Jw, radius, patch)
+    else:
+        fx, fy, cmin = CVP.cost_volume_subpixel_xla(I, Jw, radius, patch)
 
     # DIS-style inverse-residual weighting (cost rescaled back to the
     # 0..255-units the un-normalized implementation used)
@@ -205,7 +154,7 @@ def _residual_flow(I: jnp.ndarray, Jw: jnp.ndarray, radius: int, patch: int,
     # far better sub-pixel accuracy than the SSD parabola.  Where the
     # cost-volume says the residual is large (independently moving
     # content), keep the cost-volume estimate.
-    flow_lk, lk_mag, det_ok = _lk_step(I, Jw, agg)
+    flow_lk, lk_mag, det_ok = _lk_step(In, Jn, agg)
 
     cv_mag = jnp.linalg.norm(flow_cv, axis=-1)
     use_lk = (cv_mag <= 1.0) & (lk_mag <= 1.5) & det_ok

@@ -268,3 +268,36 @@ def test_fit_grid_sample_count_matches_grid_points():
         pts = np.asarray(_grid_points(h, w, 8))
         assert samples.shape == (2, pts.shape[0], 2), (samples.shape, pts.shape)
         assert np.isfinite(samples).all()
+
+
+def test_cv_pallas_kernel_matches_xla_mirror():
+    """The Pallas cost-volume kernel (interpret mode) must be BITWISE
+    equal to the XLA mirror that serves CPU backends and oversized
+    levels — both share the composed-edge-pad border convention and
+    the exact op order (ops/cv_pallas.py)."""
+    import jax.numpy as jnp
+
+    from comfyui_video_stabilizer_tpu.ops import cv_pallas as CVP
+
+    rng = np.random.default_rng(5)
+    for (b, h, w, r) in [(3, 33, 60, 2), (2, 25, 40, 3), (2, 135, 240, 2)]:
+        assert CVP.fits_vmem(h, w, r, 8)
+        img = (rng.random((b, h, w)) * 255).astype(np.float32)
+        moved = np.roll(img, (1, -2), axis=(1, 2)) + rng.normal(
+            0, 3, (b, h, w)
+        ).astype(np.float32)
+        ker = CVP.cost_volume_subpixel(
+            jnp.asarray(img), jnp.asarray(moved), r, 8, interpret=True
+        )
+        ref = CVP.cost_volume_subpixel_xla(jnp.asarray(img), jnp.asarray(moved), r, 8)
+        for a, bb, nm in zip(ker, ref, ("fx", "fy", "cmin")):
+            assert float(jnp.max(jnp.abs(a - bb))) == 0.0, nm
+
+
+def test_cv_pallas_vmem_gate():
+    """Oversized levels must refuse the whole-level-per-program layout
+    (the dense-flow API with finest_scale=0 can reach them)."""
+    from comfyui_video_stabilizer_tpu.ops import cv_pallas as CVP
+
+    assert CVP.fits_vmem(135, 240, 3, 8)
+    assert not CVP.fits_vmem(540, 960, 2, 8)
