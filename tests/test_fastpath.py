@@ -287,7 +287,10 @@ def test_fastpath_guard_miss_rewarps_on_host(monkeypatch):
                                     (256, 144), "bilinear", (0.5, 0.5, 0.5)))
 
     res_fast = _run(frames, camera_lock=True, strength=1.0)
-    assert calls["spec"] == 1
+    # the speculative call always runs once; the guard-miss replan goes
+    # through the host planner, which may legitimately pick a different
+    # Pallas K variant (second call) or the XLA path (no second call)
+    assert calls["spec"] in (1, 2)
     assert calls["stats"] >= 1, "host replan must recompute mask stats"
     monkeypatch.setenv("CVST_FASTPATH", "0")
     res_host = _run(frames, camera_lock=True, strength=1.0)
