@@ -161,3 +161,38 @@ def test_single_frame_and_empty():
     res = C.stabilize_classic(ctx, "crop", "similarity", False, 0.7, 0.5, 0.6, GRAY, 16.0)
     assert res.meta["note"].startswith("Single-frame")
     assert np.asarray(res.masks).max() == 0.0
+
+
+def test_extract_windows_matches_direct_slicing():
+    """Hierarchical one-hot window extraction is an exact selection:
+    bit-identical to direct numpy slicing for interior, edge, and
+    out-of-range corners, in both f32 and the bf16-select mode (on
+    bf16-exact integer-valued images)."""
+    rng = np.random.default_rng(3)
+    B, H, W, F = 5, 61, 83, 17
+    stack = np.floor(rng.random((B, H, W)).astype(np.float32) * 256.0)
+    corners = np.stack(
+        [rng.integers(-30, W + 30, (B, F)), rng.integers(-30, H + 30, (B, F))],
+        axis=-1,
+    ).astype(np.int32)
+    # force exact-edge cases
+    corners[0, 0] = (0, 0)
+    corners[0, 1] = (W - 1, H - 1)
+    corners[0, 2] = (-1, 5)
+    for wext, bf16 in ((49, False), (49, True), (36, False), (13, False)):
+        got = np.asarray(
+            LK._extract_windows_batched(
+                np.asarray(stack), np.asarray(corners), wext, chunk=2, bf16=bf16
+            )
+        )
+        pad = wext
+        padded = np.pad(stack, ((0, 0), (pad, pad), (pad, pad)))
+        Hp, Wp = H + 2 * pad, W + 2 * pad
+        for b in range(B):
+            for f in range(F):
+                cy = int(np.clip(corners[b, f, 1] + pad, 0, Hp - wext))
+                cx = int(np.clip(corners[b, f, 0] + pad, 0, Wp - wext))
+                ref = padded[b, cy : cy + wext, cx : cx + wext]
+                np.testing.assert_array_equal(
+                    got[b, f], ref, err_msg=f"wext={wext} bf16={bf16} b={b} f={f}"
+                )
