@@ -5,10 +5,12 @@ dense flow on the working-size grays, sampled on an 8-px grid, robust
 model fit with the same fallback chain and thresholds as Classic plus
 a mean-absolute-residual diagnostic per transition.
 
-Backend chain: the TPU DIS reformulation (ops/flow_dis.py) is always
-available, so the reference's DIS -> TV-L1 -> phase-correlation
-runtime degradation collapses to DIS -> phase-correlation (TV-L1 only
-ever existed as a cv2.optflow contingency).  A flow-kernel failure is
+Backend chain mirrors the reference's full three-tier runtime
+degradation (DIS -> TV-L1 -> phase correlation,
+/root/reference/nodes/video_stabilizer_flow.py:90-107): the TPU DIS
+reformulation (ops/flow_dis.py) is the primary backend, a first-party
+primal-dual TV-L1 solver (ops/tvl1.py) is the middle tier, and FFT
+phase correlation is the translation-only last resort.  Each hop is
 caught and recorded in ``flow_fallback_reason`` exactly like the
 reference records backend degradation.
 """

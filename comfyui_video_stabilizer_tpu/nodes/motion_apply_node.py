@@ -28,6 +28,34 @@ BLUR_QUALITY_SAMPLES = {
 }
 
 
+def _blur_profile(quality: str, motion_blur: float) -> tuple[str, int, int]:
+    """Resolve the quality widget to (name, shutter samples, warps-per-frame).
+
+    Unknown quality strings degrade to "Standard"; with blur disabled every
+    frame costs exactly one warp regardless of the selected quality.
+    """
+    name = quality if quality in BLUR_QUALITY_SAMPLES else "Standard"
+    samples = BLUR_QUALITY_SAMPLES[name]
+    per_frame = min(33, max(3, samples)) if motion_blur > 0.0 else 1
+    return name, samples, per_frame
+
+
+class _Progress:
+    """Turn apply_motion's unit ticks into absolute ProgressBar updates."""
+
+    def __init__(self, total: int) -> None:
+        self.total = max(1, total)
+        self.done = 0
+        self.bar = ProgressBar(self.total)
+
+    def tick(self) -> None:
+        self.done += 1
+        self.bar.update_absolute(min(self.done, self.total), self.total)
+
+    def finish(self) -> None:
+        self.bar.update_absolute(self.total, self.total)
+
+
 class VideoStabilizerMotionApply(io.ComfyNode):
     """Apply motion_meta matrices to a video sequence."""
 
@@ -97,40 +125,29 @@ class VideoStabilizerMotionApply(io.ComfyNode):
         motion_blur_quality: str,
     ) -> io.NodeOutput:
         context = normalize_video_input(frames)
-        padding_rgb = parse_padding_color(padding_color)
-        resolved_quality = (
-            motion_blur_quality if motion_blur_quality in BLUR_QUALITY_SAMPLES else "Standard"
-        )
-        motion_blur_samples = BLUR_QUALITY_SAMPLES[resolved_quality]
-        frame_count = context.frame_count
-        sample_count = int(max(3, min(33, motion_blur_samples))) if motion_blur > 0.0 else 1
-        progress_total = frame_count * sample_count
+        quality_name, samples, warps_per_frame = _blur_profile(motion_blur_quality, motion_blur)
+        ticks = context.frame_count * warps_per_frame
         if framing_mode == "crop":
-            progress_total += frame_count
-        progress_total = max(progress_total, 1)
-        pbar = ProgressBar(progress_total)
-        progress_done = 0
-
-        def update_progress() -> None:
-            nonlocal progress_done
-            progress_done += 1
-            pbar.update_absolute(min(progress_done, progress_total), progress_total)
-
+            ticks += context.frame_count  # crop adds a coverage-mask pass over all frames
+        progress = _Progress(ticks)
         result = apply_motion(
             context,
             motion_meta,
-            padding_rgb,
-            framing_mode=framing_mode,  # type: ignore[arg-type]
-            interpolation=interpolation,  # type: ignore[arg-type]
+            parse_padding_color(padding_color),
+            framing_mode=framing_mode,
+            interpolation=interpolation,
             motion_blur=motion_blur,
-            motion_blur_samples=motion_blur_samples,
-            progress_callback=update_progress,
+            motion_blur_samples=samples,
+            progress_callback=progress.tick,
         )
-        result.meta.setdefault("motion_apply", {})["motion_blur_quality"] = resolved_quality
-        pbar.update_absolute(progress_total, progress_total)
-        video_payload = reconstruct_video(result.frames, context)
-        mask_payload = convert_masks_for_output(result.masks)
-        return io.NodeOutput(video_payload, mask_payload, result.meta)
+        apply_block = result.meta.setdefault("motion_apply", {})
+        apply_block["motion_blur_quality"] = quality_name
+        progress.finish()
+        return io.NodeOutput(
+            reconstruct_video(result.frames, context),
+            convert_masks_for_output(result.masks),
+            result.meta,
+        )
 
 
 class VideoStabilizerMotionApplyExtension(ComfyExtension):

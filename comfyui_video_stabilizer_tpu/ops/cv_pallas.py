@@ -1,21 +1,25 @@
 """Pallas TPU kernel for the DIS residual cost volume + sub-pixel argmin.
 
-The XLA form of the cost volume (ops/flow_dis.py::_residual_flow)
-streams (2r+1)^2 candidate SSD fields through HBM: each candidate's
-patch-aggregated cost is materialized, kept for the parabola
-neighbor-selection pass, and read again by four select accumulators —
-~50 full-field HBM passes per level for radius 2.  On the small
-pyramid levels the flow solver runs on (<= ~135 x 240 at 1080p), the
-ENTIRE level fits in VMEM, so this kernel computes all candidates, the
-streaming argmin, the neighbor selection, and the parabolic sub-pixel
-refinement in one pass over one (pair) grid axis: HBM traffic drops to
-one read of I/J and one write of (fx, fy, cmin).
+A streamed XLA cost volume materializes (2r+1)^2 candidate SSD fields
+through HBM: each candidate's patch-aggregated cost is kept for the
+parabola neighbor-selection pass and read again by four select
+accumulators — ~50 full-field HBM passes per level for radius 2.  On
+the small pyramid levels the flow solver runs on (<= ~135 x 240 at
+1080p), the ENTIRE level fits in VMEM, so this kernel computes all
+candidates, the streaming argmin, the neighbor selection, and the
+parabolic sub-pixel refinement in one pass over one (pair) grid axis:
+HBM traffic drops to one read of I/J and one write of (fx, fy, cmin).
 
-Semantics are IDENTICAL to the XLA path in ops/flow_dis.py (same op
-order, same f32 arithmetic — the XLA path and this kernel share the
-composed-edge-pad cost border convention); equality is asserted in
-tests/test_flow.py via interpret mode, and the device lowering is
-checked against interpret in the device smoke.
+Semantics are IDENTICAL to :func:`cost_volume_subpixel_xla` below —
+the kernel and the XLA mirror literally share the candidate-scan and
+sub-pixel helpers, and bitwise equality is asserted in
+tests/test_flow.py via interpret mode (device lowering is checked
+against interpret in the device smoke).  Note one deliberate border
+convention: candidate shift clamping is composed into a single edge
+pad of the *inputs* (``Jw[clip(m + d)]``), which within patch//2 px of
+the frame borders differs slightly from padding the *difference* field
+per candidate (``Jw[clip(clip(m) + d)]``); the band is EPE-gated by
+the oracle tests rather than matched term-for-term.
 
 Replaces the cost-volume stage of the cv2.DISOpticalFlow equivalent
 (/root/reference/nodes/video_stabilizer_flow.py:82-87 delegates this
@@ -62,6 +66,72 @@ def _tree(xp: jnp.ndarray, patch: int) -> jnp.ndarray:
     return xp * (1.0 / (patch * patch))
 
 
+def _scan_candidates(iagg, jbuf, hp, wp, radius, patch, store):
+    """Streaming candidate-cost argmin, shared by the Pallas kernel and
+    the XLA mirror (identical op order => bitwise-equal outputs).
+
+    ``iagg`` is the pre-normalized agg-input field; ``jbuf`` the edge-
+    padded candidate buffer in 0..255 units.  ``store(i, c)`` persists
+    candidate i's aggregated cost field for the sub-pixel pass.
+    Returns (cmin, best).
+    """
+    cmin = None
+    best = None
+    for i, (dy, dx) in enumerate(
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+    ):
+        sh = jbuf[..., dy + radius : dy + radius + hp,
+                  dx + radius : dx + radius + wp] * (1.0 / 255.0)
+        d = iagg - sh
+        c = _tree(d * d, patch)
+        store(i, c)
+        if cmin is None:
+            cmin = c
+            best = jnp.zeros(c.shape, jnp.int32)
+        else:
+            take = c < cmin
+            cmin = jnp.where(take, c, cmin)
+            best = jnp.where(take, i, best)
+    return cmin, best
+
+
+def _subpixel_from_costs(cost_at, cmin, best, k, radius):
+    """Neighbor selection + parabolic refinement + edge zeroing, shared
+    by the kernel and the XLA mirror.  ``cost_at(i)`` returns candidate
+    i's stored cost field.  Returns (fx, fy)."""
+    by = best // k
+    bx = best - by * k
+    tgt_y0 = (jnp.maximum(by - 1, 0) * k) + bx
+    tgt_y1 = (jnp.minimum(by + 1, k - 1) * k) + bx
+    tgt_x0 = by * k + jnp.maximum(bx - 1, 0)
+    tgt_x1 = by * k + jnp.minimum(bx + 1, k - 1)
+    cy0 = jnp.zeros_like(cmin)
+    cy1 = jnp.zeros_like(cmin)
+    cx0 = jnp.zeros_like(cmin)
+    cx1 = jnp.zeros_like(cmin)
+    for i in range(k * k):
+        c = cost_at(i)
+        cy0 = jnp.where(tgt_y0 == i, c, cy0)
+        cy1 = jnp.where(tgt_y1 == i, c, cy1)
+        cx0 = jnp.where(tgt_x0 == i, c, cx0)
+        cx1 = jnp.where(tgt_x1 == i, c, cx1)
+
+    def parab(cm, cl, cr):
+        denom = cl + cr - 2.0 * cm
+        off = jnp.where(denom > 1e-9, 0.5 * (cl - cr) / jnp.maximum(denom, 1e-9), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    suby = parab(cmin, cy0, cy1)
+    subx = parab(cmin, cx0, cx1)
+    suby = jnp.where((by == 0) | (by == k - 1), 0.0, suby)
+    subx = jnp.where((bx == 0) | (bx == k - 1), 0.0, subx)
+    fy = by.astype(jnp.float32) - radius + suby
+    fx = bx.astype(jnp.float32) - radius + subx
+    return fx, fy
+
+
 def _make_kernel(*, h, w, radius, patch):
     k = 2 * radius + 1
     hp = h + patch - 1           # agg-input rows (pad patch//2, patch//2-1)
@@ -69,56 +139,14 @@ def _make_kernel(*, h, w, radius, patch):
 
     def kernel(iagg_ref, jbuf_ref, fx_ref, fy_ref, cmin_ref, costs):
         iagg = iagg_ref[0] * (1.0 / 255.0)          # (hp, wp)
-        cmin = None
-        best = None
-        for i, (dy, dx) in enumerate(
-            (dy, dx)
-            for dy in range(-radius, radius + 1)
-            for dx in range(-radius, radius + 1)
-        ):
-            sh = jbuf_ref[0, dy + radius : dy + radius + hp,
-                          dx + radius : dx + radius + wp] * (1.0 / 255.0)
-            d = iagg - sh
-            c = _tree(d * d, patch)                 # (h, w)
+
+        def store(i, c):
             costs[i] = c
-            if cmin is None:
-                cmin = c
-                best = jnp.zeros(c.shape, jnp.int32)
-            else:
-                take = c < cmin
-                cmin = jnp.where(take, c, cmin)
-                best = jnp.where(take, i, best)
 
-        by = best // k
-        bx = best - by * k
-        tgt_y0 = (jnp.maximum(by - 1, 0) * k) + bx
-        tgt_y1 = (jnp.minimum(by + 1, k - 1) * k) + bx
-        tgt_x0 = by * k + jnp.maximum(bx - 1, 0)
-        tgt_x1 = by * k + jnp.minimum(bx + 1, k - 1)
-        cy0 = jnp.zeros_like(cmin)
-        cy1 = jnp.zeros_like(cmin)
-        cx0 = jnp.zeros_like(cmin)
-        cx1 = jnp.zeros_like(cmin)
-        for i in range(k * k):
-            c = costs[i]
-            cy0 = jnp.where(tgt_y0 == i, c, cy0)
-            cy1 = jnp.where(tgt_y1 == i, c, cy1)
-            cx0 = jnp.where(tgt_x0 == i, c, cx0)
-            cx1 = jnp.where(tgt_x1 == i, c, cx1)
-
-        def parab(cm, cl, cr):
-            denom = cl + cr - 2.0 * cm
-            off = jnp.where(
-                denom > 1e-9, 0.5 * (cl - cr) / jnp.maximum(denom, 1e-9), 0.0
-            )
-            return jnp.clip(off, -0.5, 0.5)
-
-        suby = parab(cmin, cy0, cy1)
-        subx = parab(cmin, cx0, cx1)
-        suby = jnp.where((by == 0) | (by == k - 1), 0.0, suby)
-        subx = jnp.where((bx == 0) | (bx == k - 1), 0.0, subx)
-        fy_ref[0] = by.astype(jnp.float32) - radius + suby
-        fx_ref[0] = bx.astype(jnp.float32) - radius + subx
+        cmin, best = _scan_candidates(iagg, jbuf_ref[0], hp, wp, radius, patch, store)
+        fx, fy = _subpixel_from_costs(lambda i: costs[i], cmin, best, k, radius)
+        fy_ref[0] = fy
+        fx_ref[0] = fx
         cmin_ref[0] = cmin
 
     return kernel
@@ -131,7 +159,7 @@ def cost_volume_subpixel(I, Jw, radius: int, patch: int, interpret: bool = False
     I, Jw: (B, H, W) float32 grays in 0..255 units (un-normalized).
     Returns (fx, fy, cmin) each (B, H, W) float32 — the integer+subpixel
     displacement per axis and the aggregated cost at the minimum,
-    exactly the quantities the XLA path derives from its streamed
+    exactly the quantities the XLA mirror derives from its streamed
     candidate fields.  Caller must have checked :func:`fits_vmem`.
     """
     B, H, W = I.shape
@@ -172,10 +200,12 @@ def cost_volume_subpixel(I, Jw, radius: int, patch: int, interpret: bool = False
 
 @functools.partial(jax.jit, static_argnames=("radius", "patch"))
 def cost_volume_subpixel_xla(I, Jw, radius: int, patch: int):
-    """Pure-XLA mirror of :func:`cost_volume_subpixel` — identical op
-    order and f32 arithmetic (the interpret-mode equality test in
-    tests/test_flow.py pins the pairing).  Serves CPU backends and
-    levels too large for the whole-level-per-program VMEM layout."""
+    """Pure-XLA mirror of :func:`cost_volume_subpixel` — shares the
+    candidate-scan and sub-pixel helpers, so op order and f32
+    arithmetic are identical by construction (the interpret-mode
+    equality test in tests/test_flow.py pins the pairing).  Serves CPU
+    backends and levels too large for the whole-level-per-program VMEM
+    layout."""
     B, H, W = I.shape
     k = 2 * radius + 1
     pt, pb = patch // 2, patch // 2 - 1
@@ -187,54 +217,11 @@ def cost_volume_subpixel_xla(I, Jw, radius: int, patch: int):
         ((0, 0), (pt + radius, pb + radius), (pt + radius, pb + radius)),
         mode="edge",
     )
-    costs = []
-    cmin = None
-    best = None
-    for i, (dy, dx) in enumerate(
-        (dy, dx)
-        for dy in range(-radius, radius + 1)
-        for dx in range(-radius, radius + 1)
-    ):
-        sh = jbuf[:, dy + radius : dy + radius + hp,
-                  dx + radius : dx + radius + wp] * (1.0 / 255.0)
-        d = iagg - sh
-        c = _tree(d * d, patch)
-        costs.append(c)
-        if cmin is None:
-            cmin = c
-            best = jnp.zeros(c.shape, jnp.int32)
-        else:
-            take = c < cmin
-            cmin = jnp.where(take, c, cmin)
-            best = jnp.where(take, i, best)
-
-    by = best // k
-    bx = best - by * k
-    tgt_y0 = (jnp.maximum(by - 1, 0) * k) + bx
-    tgt_y1 = (jnp.minimum(by + 1, k - 1) * k) + bx
-    tgt_x0 = by * k + jnp.maximum(bx - 1, 0)
-    tgt_x1 = by * k + jnp.minimum(bx + 1, k - 1)
-    cy0 = jnp.zeros_like(cmin)
-    cy1 = jnp.zeros_like(cmin)
-    cx0 = jnp.zeros_like(cmin)
-    cx1 = jnp.zeros_like(cmin)
-    for i, c in enumerate(costs):
-        cy0 = jnp.where(tgt_y0 == i, c, cy0)
-        cy1 = jnp.where(tgt_y1 == i, c, cy1)
-        cx0 = jnp.where(tgt_x0 == i, c, cx0)
-        cx1 = jnp.where(tgt_x1 == i, c, cx1)
-
-    def parab(cm, cl, cr):
-        denom = cl + cr - 2.0 * cm
-        off = jnp.where(denom > 1e-9, 0.5 * (cl - cr) / jnp.maximum(denom, 1e-9), 0.0)
-        return jnp.clip(off, -0.5, 0.5)
-
-    suby = parab(cmin, cy0, cy1)
-    subx = parab(cmin, cx0, cx1)
-    suby = jnp.where((by == 0) | (by == k - 1), 0.0, suby)
-    subx = jnp.where((bx == 0) | (bx == k - 1), 0.0, subx)
-    fy = by.astype(jnp.float32) - radius + suby
-    fx = bx.astype(jnp.float32) - radius + subx
+    costs: list = []
+    cmin, best = _scan_candidates(
+        iagg, jbuf, hp, wp, radius, patch, lambda _i, c: costs.append(c)
+    )
+    fx, fy = _subpixel_from_costs(costs.__getitem__, cmin, best, k, radius)
     return fx, fy, cmin
 
 

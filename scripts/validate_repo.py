@@ -3,9 +3,10 @@
 
 Aggregates exit codes from:
   1. byte-compiling every package module,
-  2. the pytest suite (schema freeze, oracle fidelity, replay/inverse
+  2. the import-free AST schema freeze (scripts/check_node_schema_static.py),
+  3. the pytest suite (schema freeze, oracle fidelity, replay/inverse
      equivalence, shake determinism + spectra, sharding, hygiene),
-  3. example-workflow JSON validation.
+  4. example-workflow JSON validation.
 
 Run:  python3 scripts/validate_repo.py [--fast]
 """
@@ -59,6 +60,16 @@ def check_workflows() -> int:
     return failures
 
 
+def check_schema_static() -> int:
+    """Import-free AST schema freeze — catches drift even when the
+    package cannot be imported (mirrors the reference's static gate)."""
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "check_node_schema_static.py")], cwd=ROOT
+    )
+    print(f"[schema-static] {'OK' if proc.returncode == 0 else 'FAIL'}")
+    return proc.returncode
+
+
 def run_pytest(fast: bool) -> int:
     args = [sys.executable, "-m", "pytest", "tests/", "-q"]
     if fast:
@@ -71,6 +82,7 @@ def run_pytest(fast: bool) -> int:
 def main() -> int:
     fast = "--fast" in sys.argv
     failures = check_compile()
+    failures += check_schema_static()
     failures += check_workflows()
     failures += run_pytest(fast)
     if failures:

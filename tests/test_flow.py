@@ -214,6 +214,58 @@ def test_flow_perspective_mode_recovers_homography():
     assert fits.residuals["perspective"][0] < 0.8
 
 
+def test_flow_backend_chain_tvl1_tier(monkeypatch):
+    """Drive the middle tier of the runtime degradation chain
+    (reference: video_stabilizer_flow.py:90-107): when DIS raises, the
+    TV-L1 tier must carry the fit — grid subsample, decimation rescale,
+    and the flow_backend/flow_fallback_reason meta — end to end."""
+    frames, M0 = _warped_pair(seed=21)
+
+    def dis_raises(*_a, **_k):
+        raise RuntimeError("synthetic DIS outage")
+
+    monkeypatch.setattr(FD, "dis_flow_fit", dis_raises)
+    fits = FL.flow_estimator(frames, "similarity")
+    assert fits.extra_meta["flow_backend"] == "TVL1"
+    assert "TV-L1" in fits.extra_meta["flow_fallback_reason"]
+    assert fits.accepted["similarity"].all()
+    S = fits.matrices["similarity"][0]
+    np.testing.assert_allclose(S[:2, 2], M0[:2, 2], atol=1.0)
+    np.testing.assert_allclose(S[:2, :2], M0[:2, :2], atol=8e-3)
+
+    # full engine run: the degraded backend + reason must reach the meta
+    clip = np.repeat((frames / 255.0)[..., None], 3, axis=-1).astype(np.float32)
+    ctx = normalize_video_input(clip)
+    res = FL.stabilize_flow(ctx, "crop_and_pad", "similarity", False, 0.9, 0.7, 0.6, GRAY, 16.0)
+    assert res.meta["flow_backend"] == "TVL1"
+    assert "TV-L1" in res.meta["flow_fallback_reason"]
+
+
+def test_flow_backend_chain_phase_tier(monkeypatch):
+    """Both dense tiers out -> translation-only phase correlation, with
+    the compounded failure recorded in flow_fallback_reason."""
+    from comfyui_video_stabilizer_tpu.ops import tvl1 as TV
+
+    # circular shift keeps phase correlation exact (same trick as
+    # test_phase_correlate_sign_matches_cv2), isolating the chain wiring
+    sx, sy = 5, -4
+    img = _scene(180, 240, seed=22).astype(np.float32) * 255.0
+    frames = np.stack([img, np.roll(np.roll(img, sy, axis=0), sx, axis=1)])
+
+    def raises(*_a, **_k):
+        raise RuntimeError("synthetic backend outage")
+
+    monkeypatch.setattr(FD, "dis_flow_fit", raises)
+    monkeypatch.setattr(TV, "tvl1_flow", raises)
+    fits = FL.flow_estimator(frames, "similarity")
+    assert fits.extra_meta["flow_backend"] == "phase_correlate"
+    reason = fits.extra_meta["flow_fallback_reason"]
+    assert "TV-L1 failed" in reason and "phase correlation" in reason
+    assert list(fits.matrices) == ["translation"]
+    T = fits.matrices["translation"][0]
+    np.testing.assert_allclose(T[:2, 2], [sx, sy], atol=0.1)
+
+
 def test_area_resize_box_pool_fast_path_matches_dense_and_cv2():
     """Integer-factor downscale: pooling fast path == dense INTER_AREA."""
     import cv2
