@@ -122,11 +122,12 @@ def classic_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) 
     )
 
 
-def _classic_fast_crop_and_pad(frames, transform_mode, camera_lock,
-                               strength, smooth, fps, size, working_size,
-                               decimation, padding_rgb):
-    """Engine hook: zero-sync device pipeline for crop_and_pad (see
-    models/fastpath.py).  Returns None to fall back to the host path."""
+def _classic_fast_path(frames, framing, transform_mode, camera_lock,
+                       strength, smooth, fps, size, working_size,
+                       decimation, padding_rgb):
+    """Engine hook: zero-sync device pipeline for crop_and_pad/expand
+    (see models/fastpath.py).  Returns None to fall back to the host
+    path."""
     import logging
     import os
 
@@ -134,7 +135,7 @@ def _classic_fast_crop_and_pad(frames, transform_mode, camera_lock,
 
     try:
         return fastpath.run_classic_fast(
-            frames, transform_mode, camera_lock, strength, smooth,
+            frames, framing, transform_mode, camera_lock, strength, smooth,
             fps, size, working_size, decimation, padding_rgb,
         )
     except Exception:
@@ -146,7 +147,7 @@ def _classic_fast_crop_and_pad(frames, transform_mode, camera_lock,
         return None
 
 
-classic_estimator.fast_crop_and_pad = _classic_fast_crop_and_pad
+classic_estimator.fast_path = _classic_fast_path
 
 
 def stabilize_classic(

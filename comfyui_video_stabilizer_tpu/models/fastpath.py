@@ -1,4 +1,4 @@
-"""Zero-sync device front-end for the Flow stabilizer (crop_and_pad).
+"""Zero-sync device front-end for the stabilizers (crop_and_pad + expand).
 
 The standard engine (models/stabilize.py) fetches the robust fits to
 host, solves the trajectory in float64 numpy, and only then dispatches
@@ -10,7 +10,8 @@ that the device solves in microseconds.
 
 This module runs stages 4-7 of the reference pipeline
 (/root/reference/nodes/video_stabilizer_flow.py:324-460 — sticky-mode
-selection, path integration, fps smoothing, crop_and_pad recentering)
+selection, path integration, fps smoothing, crop_and_pad recentering /
+expand union-canvas solve)
 as ONE device program appended to the estimation dispatch queue, then
 dispatches the padding stats and the warp against device-resident
 inverse coefficients.  The only host fetch is the diagnostics bundle
@@ -26,6 +27,17 @@ the same tile-span bound the host planner computes
 coefficients.  If the fetched guard says the plan cannot hold (wild
 corrections; rare for stabilization), the call returns None and the
 engine transparently re-runs the exact host path.
+
+Expand framing adds a second speculation: its union canvas size is
+data-dependent (/root/reference/nodes/stabilizer_utils.py:386-406), so
+the warp dispatches into a STATIC bucket canvas — the input size grown
+by EXPAND_MARGIN_PX per side, rounded up to the warp kernel's tile
+grid — and the device program computes the true canvas size + origin
+alongside a bucket-fit guard.  After the (warp-overlapped) diagnostics
+fetch, the bucket outputs are sliced to the exact canvas on device;
+warped pixel values are independent of canvas size, so the slice is
+exact.  A bucket miss (corrections beyond the margin) re-warps once on
+the host planner at the exact size, trajectory kept.
 
 Numerics: the trajectory runs in float32 (vs the host path's float64)
 and the warp coefficients come from an on-device Newton-refined 3x3
@@ -56,6 +68,13 @@ CL_MIN_TRACKS = 8        # classic: min surviving LK tracks
 
 _MODE_IDX = {"perspective": 0, "similarity": 1, "translation": 2}
 _MODE_NAMES = ("perspective", "similarity", "translation")
+
+# expand bucket slack per side: covers the correction magnitudes real
+# smoothing produces (tens of px); larger canvases guard-miss to the
+# exact host re-warp.  64 (not more) keeps a 96-frame 1080p clip's
+# bucket inside the warp stage's HBM chunk budget (ops/warp.py:
+# will_stream rejects the fast path otherwise).
+EXPAND_MARGIN_PX = 64
 
 
 def enabled() -> bool:
@@ -253,12 +272,13 @@ def _gray_pool_factors(width, height, working_size, decimation):
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "mode", "want_persp", "camera_lock", "window",
-                     "width", "height", "scale_xy", "total_pts", "plan"),
+                     "width", "height", "scale_xy", "total_pts", "plan",
+                     "framing", "bucket"),
 )
-def _traj_crop_and_pad(
+def _traj_program(
     strength, *fits,
     kind, mode, want_persp, camera_lock, window, width, height, scale_xy,
-    total_pts, plan,
+    total_pts, plan, framing="crop_and_pad", bucket=None,
 ):
     it = iter(fits)
     eye = jnp.eye(3, dtype=jnp.float32)
@@ -362,9 +382,9 @@ def _traj_crop_and_pad(
 
     apply_m = _mats_from_params(diffs, mode)
 
-    # crop_and_pad recenter (reference classic:431-460).  All tiny
-    # matrix products at FULL f32 precision: the MXU's default bf16
-    # passes cost ~0.1 px on 1920-scale corner coordinates (measured)
+    # framing solve (reference classic:431-464).  All tiny matrix
+    # products at FULL f32 precision: the MXU's default bf16 passes
+    # cost ~0.1 px on 1920-scale corner coordinates (measured)
     hi = jax.lax.Precision.HIGHEST
     corners = jnp.asarray(
         [[0.0, 0.0, 1.0], [float(width), 0.0, 1.0],
@@ -375,22 +395,39 @@ def _traj_crop_and_pad(
     xy = warped[..., :2] / warped[..., 2:3]
     mins = xy.min(axis=1)
     maxs = xy.max(axis=1)
-    x0 = mins[:, 0].max(); y0 = mins[:, 1].max()
-    x1 = maxs[:, 0].min(); y1 = maxs[:, 1].min()
-    off_x = 0.5 * width - 0.5 * (x0 + x1)
-    off_y = 0.5 * height - 0.5 * (y0 + y1)
-    trans = eye.at[0, 2].set(off_x).at[1, 2].set(off_y)
+    if framing == "expand":
+        # union canvas: global translation puts the min corner at (0,0)
+        # (device twin of models/geometry.py::prepare_expand_transform)
+        ex0 = mins[:, 0].min(); ey0 = mins[:, 1].min()
+        ex1 = maxs[:, 0].max(); ey1 = maxs[:, 1].max()
+        out_w = jnp.maximum(jnp.ceil(ex1 - ex0), 1.0).astype(jnp.int32)
+        out_h = jnp.maximum(jnp.ceil(ey1 - ey0), 1.0).astype(jnp.int32)
+        trans = eye.at[0, 2].set(-ex0).at[1, 2].set(-ey0)
+        offsets = jnp.stack([-ex0, -ey0])
+        out_wh = jnp.stack([out_w, out_h])
+        bucket_h, bucket_w = bucket
+        fit = (out_w <= bucket_w) & (out_h <= bucket_h)
+    else:  # crop_and_pad recenter
+        x0 = mins[:, 0].max(); y0 = mins[:, 1].max()
+        x1 = maxs[:, 0].min(); y1 = maxs[:, 1].min()
+        off_x = 0.5 * width - 0.5 * (x0 + x1)
+        off_y = 0.5 * height - 0.5 * (y0 + y1)
+        trans = eye.at[0, 2].set(off_x).at[1, 2].set(off_y)
+        offsets = jnp.stack([off_x, off_y])
+        out_wh = jnp.asarray([width, height], jnp.int32)
+        fit = jnp.asarray(True)
     final = jnp.einsum("ij,njk->nik", trans, apply_m, precision=hi)
 
     coeffs = _inverse_coeffs_device(final)
-    guard = _span_guard(coeffs, plan) & jnp.isfinite(final).all()
+    finite = jnp.isfinite(final).all()
+    guard = _span_guard(coeffs, plan) & finite
 
     return dict(
         chosen=chosen, conf=conf, resid=resid, matrices=Mf,
         path=path, target=target, diffs=diffs,
         apply=apply_m, final=final, coeffs=coeffs,
-        mins=mins, maxs=maxs, offsets=jnp.stack([off_x, off_y]),
-        degenerate=deg, guard=guard,
+        mins=mins, maxs=maxs, offsets=offsets,
+        degenerate=deg, guard=guard, fit=fit & finite, out_wh=out_wh,
     )
 
 
@@ -421,8 +458,18 @@ def _speculative_plan(out_h: int, out_w: int, in_h: int, in_w: int,
                 n_th=n_th, n_tw=n_tw, margin=margin, sub=sub, extra=2)
 
 
+def _out_dims(framing: str, height: int, width: int) -> Tuple[int, int]:
+    """Static warp canvas (h, w): exact for crop_and_pad, the
+    speculative bucket for expand (the warp kernel's grid handles
+    ragged tile edges, so no tile rounding is needed)."""
+    if framing != "expand":
+        return height, width
+    return height + 2 * EXPAND_MARGIN_PX, width + 2 * EXPAND_MARGIN_PX
+
+
 def run_flow_fast(
     frames,
+    framing: str,
     transform_mode: str,
     camera_lock: bool,
     strength: float,
@@ -434,22 +481,23 @@ def run_flow_fast(
     padding_rgb: Tuple[int, int, int],
     seed: int = 0,
 ) -> Dict | None:
-    """Dispatch the full Flow crop_and_pad pipeline with zero serial
-    host syncs; returns the host-value dict models/stabilize.py's meta
-    assembly consumes, or None to fall back to the standard engine."""
+    """Dispatch the full Flow crop_and_pad/expand pipeline with zero
+    serial host syncs; returns the host-value dict models/stabilize.py's
+    meta assembly consumes, or None to fall back to the standard engine."""
     from ..ops import flow_dis as FD
     from ..ops import ransac as RS
     from ..ops import warp as W
     from . import flow as FL
     from . import geometry as G
 
-    if not enabled():
+    if not enabled() or framing not in ("crop_and_pad", "expand"):
         return None
     width, height = int(size[0]), int(size[1])
     if getattr(frames, "ndim", 0) != 4 or frames.shape[-1] != 3:
         return None
     n = int(frames.shape[0])
-    if W.will_stream(n, height, width, height, width) or n < 2:
+    out_h_b, out_w_b = _out_dims(framing, height, width)
+    if W.will_stream(n, height, width, out_h_b, out_w_b) or n < 2:
         return None
     if _mesh_active(frames):
         return None
@@ -458,7 +506,7 @@ def run_flow_fast(
     frames = W._device_frames(frames)
 
     want_persp = transform_mode == "perspective"
-    plan = _speculative_plan(height, width, height, width,
+    plan = _speculative_plan(out_h_b, out_w_b, height, width,
                              affine=not want_persp)
     pre_padded = None
     factors = _gray_pool_factors(width, height, working_size, decimation)
@@ -504,23 +552,25 @@ def run_flow_fast(
     plan_key = (plan["k"], plan["th"], plan["tw"], plan["n_th"], plan["n_tw"],
                 plan["sub"], plan["margin"], plan["extra"])
 
-    out = _traj_crop_and_pad(
+    out = _traj_program(
         jnp.float32(strength_c), *fits,
         kind="flow", mode=transform_mode, want_persp=want_persp,
         camera_lock=camera_lock, window=window, width=width, height=height,
         scale_xy=scale_xy, total_pts=total_pts, plan=plan_key,
+        framing=framing, bucket=(out_h_b, out_w_b),
     )
 
     return _dispatch_and_collect(
         frames, out, plan, want_persp, width, height, padding_rgb,
         extra_meta={"flow_backend": "DIS", "flow_fallback_reason": None},
         strength_c=strength_c, smooth_c=smooth_c, has_resid=True,
-        pre_padded=pre_padded,
+        pre_padded=pre_padded, framing=framing, out_dims=(out_h_b, out_w_b),
     )
 
 
 def run_classic_fast(
     frames,
+    framing: str,
     transform_mode: str,
     camera_lock: bool,
     strength: float,
@@ -541,20 +591,21 @@ def run_classic_fast(
     from . import classic as CL
     from . import geometry as G
 
-    if not enabled():
+    if not enabled() or framing not in ("crop_and_pad", "expand"):
         return None
     width, height = int(size[0]), int(size[1])
     if getattr(frames, "ndim", 0) != 4 or frames.shape[-1] != 3:
         return None
     n = int(frames.shape[0])
-    if W.will_stream(n, height, width, height, width) or n < 2:
+    out_h_b, out_w_b = _out_dims(framing, height, width)
+    if W.will_stream(n, height, width, out_h_b, out_w_b) or n < 2:
         return None
     if _mesh_active(frames):
         return None
     frames = W._device_frames(frames)
 
     want_persp = transform_mode == "perspective"
-    plan = _speculative_plan(height, width, height, width,
+    plan = _speculative_plan(out_h_b, out_w_b, height, width,
                              affine=not want_persp)
     pre_padded = None
     factors = _gray_pool_factors(width, height, working_size, decimation)
@@ -591,32 +642,62 @@ def run_classic_fast(
     plan_key = (plan["k"], plan["th"], plan["tw"], plan["n_th"], plan["n_tw"],
                 plan["sub"], plan["margin"], plan["extra"])
 
-    out = _traj_crop_and_pad(
+    out = _traj_program(
         jnp.float32(strength_c), det_counts, *fits,
         kind="classic", mode=transform_mode, want_persp=want_persp,
         camera_lock=camera_lock, window=window, width=width, height=height,
         scale_xy=scale_xy, total_pts=1, plan=plan_key,
+        framing=framing, bucket=(out_h_b, out_w_b),
     )
     return _dispatch_and_collect(
         frames, out, plan, want_persp, width, height, padding_rgb,
         extra_meta={}, strength_c=strength_c, smooth_c=smooth_c,
-        has_resid=False, pre_padded=pre_padded,
+        has_resid=False, pre_padded=pre_padded, framing=framing,
+        out_dims=(out_h_b, out_w_b),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _slice_canvas(x, h, w):
+    """Bucket canvas -> exact canvas.  A copy (XLA cannot alias a
+    smaller output into the input buffer), so the expand dispatch path
+    drops every other large reference first — see the release note in
+    _dispatch_and_collect."""
+    return x[:, :h, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _slice_transpose_planar(x, h, w):
+    """Planar tile-grid warp output -> exact-canvas NHWC, one fused op.
+
+    The expand fast path takes the Pallas warp's raw planar output
+    (``planar=True``) so the bucket-size NHWC copy is never
+    materialized: the canvas slice rides the one transpose the output
+    needed anyway (saves a ~2.9 GB buffer + its write/read pass at
+    1080p/96f)."""
+    return jnp.transpose(x[:, :, :h, :w], (0, 2, 3, 1))
 
 
 def _dispatch_and_collect(
     frames, out, plan, want_persp, width, height, padding_rgb, *,
     extra_meta, strength_c, smooth_c, has_resid, pre_padded=None,
+    framing="crop_and_pad", out_dims=None,
 ):
     """Queue stats + the speculative warp, then do the single
     (warp-overlapped) diagnostics fetch and build the host-value dict
     the engine's meta assembly consumes."""
     from ..ops import warp as W
 
-    # stats queued before the warp so their fetch overlaps warp compute
-    masks, ratios = W._padding_stats_xla(
-        out["coeffs"], height, width, height, width
-    )
+    out_h_b, out_w_b = out_dims if out_dims is not None else (height, width)
+    # crop_and_pad: stats queued before the warp so their fetch
+    # overlaps warp compute.  expand: stats queued AFTER the warp —
+    # at 1080p/96f the bucket mask (~1 GB) on top of the warp's peak
+    # live set (source + padded planar + planar & NHWC bucket outputs,
+    # ~11 GB) exhausts HBM if it is alive during the warp.
+    if framing != "expand":
+        masks, ratios = W._padding_stats_xla(
+            out["coeffs"], out_h_b, out_w_b, height, width
+        )
     border = np.asarray(padding_rgb, np.float32) / 255.0
     use_pallas = W._use_pallas("bilinear")
     if use_pallas:
@@ -628,27 +709,67 @@ def _dispatch_and_collect(
         stabilized = WP._warp_pallas_call(
             src,
             out["coeffs"].reshape(-1), jnp.asarray(border),
-            out_h=height, out_w=width, th=plan["th"], tw=plan["tw"],
+            out_h=out_h_b, out_w=out_w_b, th=plan["th"], tw=plan["tw"],
             wh=plan["wh"], ww=plan["ww"], k=plan["k"],
             n_th=plan["n_th"], n_tw=plan["n_tw"], in_h=height, in_w=width,
             pad_y=plan["pad_y"], pad_x=plan["pad_x"], channels=3,
             interp="bilinear", affine=not want_persp,
             pre_padded=pre_padded is not None,
+            planar=framing == "expand",
         )
     else:
         stabilized = W._warp_xla(frames, out["coeffs"], jnp.asarray(border),
-                                 height, width, "bilinear")
+                                 out_h_b, out_w_b, "bilinear")
+
+    if framing == "expand":
+        masks, ratios = W._padding_stats_bucket(
+            out["coeffs"], out["out_wh"], out_h_b, out_w_b, height, width
+        )
+        # release the padded planar source before the canvas slice
+        # runs: it is ~2.9 GB at 1080p/96f and the slice (a copy —
+        # donation cannot alias a smaller output) needs the headroom
+        src = pre_padded = None  # noqa: F841
 
     # ONE host fetch, overlapping the queued warp
     diag = jax.device_get(
-        (out["guard"], out["chosen"], out["conf"], out["resid"],
-         out["matrices"], out["path"], out["target"], out["diffs"],
-         out["apply"], out["final"], out["mins"], out["maxs"],
+        (out["guard"], out["fit"], out["out_wh"], out["chosen"], out["conf"],
+         out["resid"], out["matrices"], out["path"], out["target"],
+         out["diffs"], out["apply"], out["final"], out["mins"], out["maxs"],
          out["offsets"], out["degenerate"], ratios)
     )
-    (guard, chosen, conf, resid, matrices, path, target, diffs,
+    (guard, fit, out_wh, chosen, conf, resid, matrices, path, target, diffs,
      apply_m, final, mins, maxs, offsets, degenerate, ratios_np) = diag
-    if use_pallas and not bool(guard):
+
+    if not np.isfinite(final).all():
+        return None  # engine re-runs the full host path
+
+    output_size = None
+    plan_ok = bool(guard) or not use_pallas
+    if framing == "expand":
+        out_w_e, out_h_e = int(out_wh[0]), int(out_wh[1])
+        if out_w_e <= 0 or out_h_e <= 0:
+            return None
+        output_size = (out_w_e, out_h_e)
+        if bool(fit) and plan_ok:
+            # speculative bucket held: slice to the true canvas (warped
+            # pixel values are independent of canvas size)
+            if use_pallas:  # planar warp output: fused slice+transpose
+                stabilized = _slice_transpose_planar(stabilized, h=out_h_e, w=out_w_e)
+            else:
+                stabilized = _slice_canvas(stabilized, h=out_h_e, w=out_w_e)
+            masks = _slice_canvas(masks, h=out_h_e, w=out_w_e)
+        else:
+            # canvas beyond the bucket (or plan miss): exact host
+            # re-warp, trajectory kept
+            final64 = np.asarray(final, np.float64)
+            masks, ratios_dev = W.padding_mask_stats(
+                final64, (width, height), output_size
+            )
+            stabilized = W.warp_clip(
+                frames, final64, output_size, "bilinear", border
+            )
+            ratios_np = np.asarray(ratios_dev)
+    elif use_pallas and not plan_ok:
         # Wild corrections for the speculative plan: the fetched
         # trajectory stands — only the WARP re-runs through the host
         # planner (which picks a fitting K variant or the XLA path),
@@ -664,7 +785,7 @@ def _dispatch_and_collect(
         ratios_np = np.asarray(ratios_dev)
 
     modes_used = [_MODE_NAMES[int(i)] for i in chosen]
-    return dict(
+    result = dict(
         matrices=np.asarray(matrices, np.float32),
         modes_used=modes_used,
         confidences=[float(v) for v in conf],
@@ -684,3 +805,6 @@ def _dispatch_and_collect(
         strength=strength_c,
         smooth=smooth_c,
     )
+    if output_size is not None:
+        result["output_size"] = output_size
+    return result

@@ -225,11 +225,12 @@ def flow_estimator(
 flow_estimator.gray_decimation = _gray_decimation
 
 
-def _flow_fast_crop_and_pad(frames, transform_mode, camera_lock,
-                            strength, smooth, fps, size, working_size,
-                            decimation, padding_rgb):
-    """Engine hook: zero-sync device pipeline for crop_and_pad (see
-    models/fastpath.py).  Returns None to fall back to the host path."""
+def _flow_fast_path(frames, framing, transform_mode, camera_lock,
+                    strength, smooth, fps, size, working_size,
+                    decimation, padding_rgb):
+    """Engine hook: zero-sync device pipeline for crop_and_pad/expand
+    (see models/fastpath.py).  Returns None to fall back to the host
+    path."""
     import logging
     import os
 
@@ -237,7 +238,7 @@ def _flow_fast_crop_and_pad(frames, transform_mode, camera_lock,
 
     try:
         return fastpath.run_flow_fast(
-            frames, transform_mode, camera_lock, strength, smooth,
+            frames, framing, transform_mode, camera_lock, strength, smooth,
             fps, size, working_size, decimation, padding_rgb,
         )
     except Exception:
@@ -249,7 +250,7 @@ def _flow_fast_crop_and_pad(frames, transform_mode, camera_lock,
         return None  # host path re-runs with its full fallback chain
 
 
-flow_estimator.fast_crop_and_pad = _flow_fast_crop_and_pad
+flow_estimator.fast_path = _flow_fast_path
 
 
 def stabilize_flow(

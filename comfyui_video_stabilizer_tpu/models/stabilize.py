@@ -235,18 +235,19 @@ def stabilize_clip(
     base_mode = transform_mode
 
     # Zero-sync device fast path (models/fastpath.py): gray ingest,
-    # estimation, sticky select, trajectory, recenter, warp all
-    # dispatched without a serial host round-trip; returns every host
-    # value the meta assembly below needs.  None -> exact host path
-    # (which then computes its own grays).
+    # estimation, sticky select, trajectory, framing solve (recenter /
+    # expand union canvas), warp all dispatched without a serial host
+    # round-trip; returns every host value the meta assembly below
+    # needs.  None -> exact host path (which then computes its own
+    # grays).
     fast = None
-    fast_fn = getattr(estimator, "fast_crop_and_pad", None)
-    if fast_fn is not None and framing_mode == "crop_and_pad":
+    fast_fn = getattr(estimator, "fast_path", None)
+    if fast_fn is not None and framing_mode in ("crop_and_pad", "expand"):
         with timer.stage("estimation"):
             fast = fast_fn(
-                frames, transform_mode, camera_lock, strength, smooth,
-                fps_effective, (width, height), working_size, decimation,
-                padding_rgb,
+                frames, framing_mode, transform_mode, camera_lock, strength,
+                smooth, fps_effective, (width, height), working_size,
+                decimation, padding_rgb,
             )
     if fast is not None:
         matrices = fast["matrices"]
@@ -435,10 +436,14 @@ def stabilize_clip(
             }
         )
     else:  # expand
-        translate, output_size = G.prepare_expand_transform(mins, maxs)
-        final_matrices = np.einsum(
-            "ij,njk->nik", translate.astype(np.float64), np.asarray(apply_matrices, np.float64)
-        ).astype(np.float32)
+        if fast is not None and "output_size" in fast:
+            # union canvas + translate already composed on device
+            output_size = fast["output_size"]
+        else:
+            translate, output_size = G.prepare_expand_transform(mins, maxs)
+            final_matrices = np.einsum(
+                "ij,njk->nik", translate.astype(np.float64), np.asarray(apply_matrices, np.float64)
+            ).astype(np.float32)
         framing_meta["expanded_size"] = list(output_size)
 
     effective_diffs = (

@@ -279,6 +279,25 @@ def _padding_stats_xla(coeffs, out_h, out_w, in_h, in_w):
     return mask, ratios
 
 
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "in_h", "in_w"))
+def _padding_stats_bucket(coeffs, out_wh, out_h, out_w, in_h, in_w):
+    """_padding_stats_xla over a STATIC bucket canvas with a DYNAMIC
+    true canvas size out_wh=(w_e, h_e) int32 (the expand fast path's
+    speculative dispatch: the canvas is a device value at dispatch
+    time).  The mask is valid within [:h_e, :w_e] (sliced by the
+    caller); ratios average over the true canvas only."""
+    xn, yn = _nearest_coords(coeffs, out_h, out_w)
+    inside = (xn >= 0) & (xn < in_w) & (yn >= 0) & (yn < in_h)
+    mask = 1.0 - inside.astype(jnp.float32)
+    in_canvas = (
+        (jnp.arange(out_w, dtype=jnp.int32)[None, :] < out_wh[0])
+        & (jnp.arange(out_h, dtype=jnp.int32)[:, None] < out_wh[1])
+    )
+    area = jnp.maximum((out_wh[0] * out_wh[1]).astype(jnp.float32), 1.0)
+    ratios = jnp.where(in_canvas[None], mask, 0.0).reshape(mask.shape[0], -1).sum(1) / area
+    return mask, ratios
+
+
 def padding_mask_stats(
     matrices: np.ndarray,
     in_size: Tuple[int, int],

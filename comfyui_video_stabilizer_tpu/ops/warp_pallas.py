@@ -451,13 +451,13 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
     static_argnames=("out_h", "out_w", "th", "tw", "wh", "ww", "k",
                      "n_th", "n_tw", "in_h", "in_w", "pad_y", "pad_x",
                      "channels", "interp", "affine", "interpret",
-                     "pre_padded"),
+                     "pre_padded", "planar"),
 )
 def _warp_pallas_call(
     frames, coeffs32, border, *,
     out_h, out_w, th, tw, wh, ww, k, n_th, n_tw, in_h, in_w,
     pad_y, pad_x, channels, interp, affine, interpret=False,
-    pre_padded=False,
+    pre_padded=False, planar=False,
 ):
     # any layout conversion + padding runs ON DEVICE inside this jit:
     # the wrapper receives frames that never leave the chip.
@@ -466,6 +466,10 @@ def _warp_pallas_call(
     # that shares its clip read with the grayscale kernel) — safe
     # because cross-jit array arguments always carry default layouts,
     # unlike intra-jit transposes (see _geometry's layout note).
+    # ``planar``: return the raw (N, C, n_th*th, n_tw*tw) tile-grid
+    # output without the NHWC transpose/slice — the expand fast path
+    # fuses its dynamic canvas slice into one exact-size transpose
+    # instead of materializing a bucket-size NHWC copy first.
     out = _pallas_warp_core(
         frames, coeffs32, border, n_samples=1,
         th=th, tw=tw, wh=wh, ww=ww, k=k, n_th=n_th, n_tw=n_tw,
@@ -473,6 +477,8 @@ def _warp_pallas_call(
         channels=channels, interp=interp, affine=affine,
         interpret=interpret, pre_padded=pre_padded,
     )
+    if planar:
+        return out
     return jnp.transpose(out[:, :, :out_h, :out_w], (0, 2, 3, 1))
 
 

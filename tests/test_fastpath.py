@@ -42,7 +42,7 @@ def fastpath_on(monkeypatch):
     def hook(frames, *a, **k):
         return spy(frames, *a, **k)
 
-    monkeypatch.setattr(_FL.flow_estimator, "fast_crop_and_pad", hook,
+    monkeypatch.setattr(_FL.flow_estimator, "fast_path", hook,
                         raising=False)
     yield taken
 
@@ -133,13 +133,98 @@ def test_fastpath_replay_round_trip(fastpath_on):
     assert dm.max() < 1e-3
 
 
-def test_fastpath_falls_back_for_other_framings(fastpath_on):
-    """crop / expand must keep the exact host path (and still work)."""
+def test_fastpath_falls_back_for_crop_framing(fastpath_on):
+    """crop must keep the exact host path (and still work)."""
     frames = _shaken_clip(n=6, seed=7)
-    res = _run(frames, framing_mode="expand")
-    assert res.meta["framing"]["expanded_size"][0] >= frames.shape[2]
     res = _run(frames, framing_mode="crop")
+    assert fastpath_on["n"] == 0, "fast path must not engage for crop"
     assert res.meta["padding_fraction_max"] <= 1e-6
+
+
+def test_fastpath_expand_matches_host_engine(fastpath_on, monkeypatch):
+    """Expand framing through the speculative-bucket fast path: same
+    canvas size, same matrices, pixels/masks within the oracle gates
+    (mirrors the crop_and_pad gates above)."""
+    frames = _shaken_clip(seed=3)
+    res_fast = _run(frames, framing_mode="expand")
+    assert fastpath_on["n"] == 1, "expand fast path did not run"
+    monkeypatch.setenv("CVST_FASTPATH", "0")
+    res_host = _run(frames, framing_mode="expand")
+
+    mh, mf = res_host.meta, res_fast.meta
+    assert mf["framing"]["expanded_size"] == mh["framing"]["expanded_size"]
+    assert set(mf["framing"].keys()) == set(mh["framing"].keys())
+    assert [t["mode"] for t in mf["estimated_motion"]["per_transition"]] == \
+        [t["mode"] for t in mh["estimated_motion"]["per_transition"]]
+    fa = np.array([f["applied_matrix"] for f in mf["stabilization_warp"]["per_frame"]])
+    ha = np.array([f["applied_matrix"] for f in mh["stabilization_warp"]["per_frame"]])
+    np.testing.assert_allclose(fa, ha, atol=2e-3)
+    assert mf["stabilization_warp"]["output_size"] == mh["stabilization_warp"]["output_size"]
+
+    df = np.asarray(res_fast.frames, np.float32)
+    dh = np.asarray(res_host.frames, np.float32)
+    assert df.shape == dh.shape
+    assert np.abs(df - dh).max() < 1e-2
+    assert np.quantile(np.abs(df - dh), 0.99) < 1e-3
+    np.testing.assert_allclose(np.asarray(res_fast.masks),
+                               np.asarray(res_host.masks), atol=1e-3)
+    assert abs(mf["padding_fraction_mean"] - mh["padding_fraction_mean"]) < 1e-3
+
+    # replay bit-consistency: Motion Apply on the fast-path meta must
+    # reproduce the fast-path expand output
+    replay = MA.apply_motion(
+        normalize_video_input(np.asarray(frames)), mf, GRAY,
+        framing_mode="expand")
+    assert np.asarray(replay.frames).shape == df.shape
+
+
+def test_fastpath_expand_pallas_planar_path(fastpath_on, monkeypatch):
+    """The device expand route takes the Pallas warp's planar output
+    and fuses the canvas slice into the NHWC transpose — drive it in
+    interpret mode and gate against the host engine."""
+    import comfyui_video_stabilizer_tpu.ops.warp as OW
+    import comfyui_video_stabilizer_tpu.ops.warp_pallas as OWP
+
+    monkeypatch.setattr(OW, "_use_pallas", lambda interp: True)
+    real_call = OWP._warp_pallas_call
+    seen = {}
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        seen["planar"] = k.get("planar")
+        return real_call(*a, **k)
+
+    monkeypatch.setattr(OWP, "_warp_pallas_call", interp_call)
+    frames = _shaken_clip(seed=3)
+    res_fast = _run(frames, framing_mode="expand")
+    assert fastpath_on["n"] == 1
+    assert seen.get("planar") is True
+    monkeypatch.setenv("CVST_FASTPATH", "0")
+    res_host = _run(frames, framing_mode="expand")
+    df = np.asarray(res_fast.frames, np.float32)
+    dh = np.asarray(res_host.frames, np.float32)
+    assert df.shape == dh.shape
+    assert np.quantile(np.abs(df - dh), 0.99) < 1e-3
+    assert np.asarray(res_fast.masks).shape == np.asarray(res_host.masks).shape
+
+
+def test_fastpath_expand_bucket_miss_rewarps_exact(fastpath_on, monkeypatch):
+    """Corrections beyond EXPAND_MARGIN_PX must miss the bucket guard
+    and re-warp at the exact canvas on the host planner."""
+    from comfyui_video_stabilizer_tpu.models import fastpath as FP
+
+    monkeypatch.setattr(FP, "EXPAND_MARGIN_PX", 0)
+    frames = _shaken_clip(seed=3)
+    res_fast = _run(frames, framing_mode="expand")
+    assert fastpath_on["n"] == 1
+    monkeypatch.setenv("CVST_FASTPATH", "0")
+    res_host = _run(frames, framing_mode="expand")
+    assert res_fast.meta["framing"]["expanded_size"] == \
+        res_host.meta["framing"]["expanded_size"]
+    df = np.asarray(res_fast.frames, np.float32)
+    dh = np.asarray(res_host.frames, np.float32)
+    assert df.shape == dh.shape
+    assert np.quantile(np.abs(df - dh), 0.99) < 1e-3
 
 
 def test_fastpath_classic_matches_host_engine(monkeypatch):
