@@ -89,16 +89,22 @@ def enabled() -> bool:
         return False
 
 
-def _mesh_active(frames) -> bool:
-    """True under a sharding mesh / with multi-device inputs: the
-    production sharded engines (parallel/production.py) run the host
-    path, whose estimation+warp programs GSPMD partitions — the fast
-    path's speculative Pallas launch is a single-device program."""
-    try:
-        if not jax.sharding.get_abstract_mesh().empty:
-            return True
-    except Exception:
-        pass
+def _mesh_defer(frames, n: int) -> bool:
+    """True when the fast path must defer to the host engine.
+
+    Under a mesh the fast path now runs SHARDED: estimation and the
+    trajectory program are GSPMD-partitioned jits (the estimation
+    kernels fall back to their XLA mirrors there, ops/cv_pallas.py /
+    ops/lk.py gates) and the speculative warp runs shard_map-ped over
+    the frame axis (ops/warp_pallas.py::warp_pallas_sharded).  Only
+    when the frame axis cannot shard evenly over the mesh's ``data``
+    axis (spatial fallback, parallel/production.py) — or with a
+    multi-device input outside any set_mesh context — does the host
+    path take over."""
+    from ..utils.meshinfo import active_abstract_mesh, data_shards
+
+    if active_abstract_mesh() is not None:
+        return data_shards(n) is None
     try:
         return len(frames.sharding.device_set) > 1
     except Exception:
@@ -499,7 +505,7 @@ def run_flow_fast(
     out_h_b, out_w_b = _out_dims(framing, height, width)
     if W.will_stream(n, height, width, out_h_b, out_w_b) or n < 2:
         return None
-    if _mesh_active(frames):
+    if _mesh_defer(frames, n):
         return None
     # same single upload the host path pays at warp time (no-op for
     # device-resident clips)
@@ -600,7 +606,7 @@ def run_classic_fast(
     out_h_b, out_w_b = _out_dims(framing, height, width)
     if W.will_stream(n, height, width, out_h_b, out_w_b) or n < 2:
         return None
-    if _mesh_active(frames):
+    if _mesh_defer(frames, n):
         return None
     frames = W._device_frames(frames)
 
@@ -702,13 +708,12 @@ def _dispatch_and_collect(
     use_pallas = W._use_pallas("bilinear")
     if use_pallas:
         from ..ops import warp_pallas as WP
+        from ..utils.meshinfo import data_shards
 
         src = pre_padded if pre_padded is not None else (
             frames.astype(jnp.float32) if frames.dtype != jnp.float32 else frames
         )
-        stabilized = WP._warp_pallas_call(
-            src,
-            out["coeffs"].reshape(-1), jnp.asarray(border),
+        warp_kw = dict(
             out_h=out_h_b, out_w=out_w_b, th=plan["th"], tw=plan["tw"],
             wh=plan["wh"], ww=plan["ww"], k=plan["k"],
             n_th=plan["n_th"], n_tw=plan["n_tw"], in_h=height, in_w=width,
@@ -717,6 +722,18 @@ def _dispatch_and_collect(
             pre_padded=pre_padded is not None,
             planar=framing == "expand",
         )
+        shards = data_shards(int(frames.shape[0]))
+        if shards is not None:
+            # mesh run: per-shard speculative warps, no collectives —
+            # the plan/guard are global, the frames embarrassingly so
+            stabilized = WP.warp_pallas_sharded(
+                src, out["coeffs"].reshape(-1), jnp.asarray(border),
+                shards=shards, **warp_kw,
+            )
+        else:
+            stabilized = WP._warp_pallas_call(
+                src, out["coeffs"].reshape(-1), jnp.asarray(border), **warp_kw
+            )
     else:
         stabilized = W._warp_xla(frames, out["coeffs"], jnp.asarray(border),
                                  out_h_b, out_w_b, "bilinear")

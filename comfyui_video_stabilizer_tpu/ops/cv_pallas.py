@@ -226,6 +226,14 @@ def cost_volume_subpixel_xla(I, Jw, radius: int, patch: int):
 
 
 def use_pallas() -> bool:
+    """Kernel path on single-device TPU runs.  Under a sharding mesh
+    the XLA mirror runs instead: the estimation jits are GSPMD-
+    partitioned there, and a pallas_call cannot be auto-partitioned
+    (utils/meshinfo.py)."""
+    from ..utils.meshinfo import mesh_active
+
+    if mesh_active():
+        return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:

@@ -340,6 +340,14 @@ def _extract_windows_batched(stack: jnp.ndarray, corners: jnp.ndarray, wext: int
     output sums exactly one product, accumulated in f32) and ~2-3x
     faster on the MXU.  Callers enable it only for the finest level;
     coarser levels carry x.25-step box means that bf16 would round.
+
+    On TPU the selection runs as per-feature DMA copies instead
+    (ops/extract_pallas.py): raw strided slices out of the
+    VMEM-resident padded frame, no selection tensors at all — the
+    one-hot matmul form moved ~1 GB of intermediates per 8-frame chunk
+    at 480p and was the Classic path's last whale.  Both forms are
+    exact slices, so they are interchangeable bit-for-bit (asserted in
+    tests/test_classic.py).
     """
     B, H, W = stack.shape
     F = corners.shape[1]
@@ -349,6 +357,20 @@ def _extract_windows_batched(stack: jnp.ndarray, corners: jnp.ndarray, wext: int
     # dynamic_slice semantics: clamp the start so the window stays inside
     cy = jnp.clip(corners[..., 1] + pad, 0, Hp - wext)
     cx = jnp.clip(corners[..., 0] + pad, 0, Wp - wext)
+
+    import os
+
+    # CVST_DMA_EXTRACT=1 swaps in the per-feature DMA kernel
+    # (ops/extract_pallas.py).  Measured on v5e at 480p/63 pairs/512
+    # features: ~31 ms per extraction, FLAT across pyramid levels (the
+    # cost is per-DMA-descriptor, ~1 us/feature) — worse than the
+    # one-hot matmuls everywhere except the finest level, where they
+    # tie.  Kept as a verified alternative; the one-hot path stays the
+    # default.
+    if _use_pallas_lk() and os.environ.get("CVST_DMA_EXTRACT", "0") == "1":
+        from . import extract_pallas as EP
+
+        return EP.extract_windows_dma(padded, cy, cx, wext)
 
     nb = -(-B // chunk)
     pad_b = nb * chunk - B
@@ -522,12 +544,50 @@ def lk_track(
     return g, valid  # device arrays; consumers are the RANSAC device fits
 
 
+def _conv2_lanes(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """_conv2 twin for LANE-MAJOR window stacks (B, h, w, F).
+
+    Same reflect-101 pad, same rank-1 factorization, same tap order —
+    elementwise-identical arithmetic to _conv2 on the (B*F, h, w)
+    layout, but every vreg carries F live lanes instead of w/128."""
+    kernel = np.asarray(kernel, np.float64)
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    B, H, Wd, F = x.shape
+    padded = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect")
+    r0, c0 = np.argwhere(kernel != 0.0)[0]
+    ky = kernel[:, c0].astype(np.float32)
+    kx = (kernel[r0, :] / kernel[r0, c0]).astype(np.float32)
+    assert np.array_equal(
+        np.outer(kernel[:, c0], kernel[r0, :] / kernel[r0, c0]), kernel
+    ), "kernel must factor (all LK kernels do)"
+    v = None
+    for i in range(kh):
+        if ky[i] == 0.0:
+            continue
+        t = padded[:, i : i + H, :, :] * ky[i]
+        v = t if v is None else v + t
+    out = None
+    for j in range(kw):
+        if kx[j] == 0.0:
+            continue
+        t = v[:, :, j : j + Wd, :] * kx[j]
+        out = t if out is None else out + t
+    return out
+
+
 def _lk_prep(I_stack, J_stack, pts_level, guess, win, bf16_extract=False):
     """Window extraction + template sampling + normal equations.
 
-    Shared by the XLA and Pallas iteration backends; everything here
-    runs ONCE per level.  Returns the per-feature quantities the GN
-    loop consumes (shapes (B, F, ...)).  ``bf16_extract`` speeds the
+    Feeds the Pallas iteration backend; everything here runs ONCE per
+    level.  Returns the per-feature quantities the GN loop consumes in
+    the kernel's own LANE-MAJOR layout — windows (B, h, w, F) with
+    features on lanes, scalars (B, F).  The windows are transposed to
+    that layout IMMEDIATELY after extraction: in the natural
+    (B, F, h, w) layout every downstream op (Scharr convs, subpixel
+    sampling, normal-equation sums) runs at h/128 ~ 28% lane
+    utilization, which measured as a flat ~40 ms per level at 480p —
+    more than the extraction itself.  ``bf16_extract`` speeds the
     selection matmuls bit-exactly on the integer-valued finest level
     (see _extract_windows_batched).
     """
@@ -541,11 +601,11 @@ def _lk_prep(I_stack, J_stack, pts_level, guess, win, bf16_extract=False):
     Ir = jnp.pad(I_stack, ((0, 0), (1, 1), (1, 1)), mode="reflect")
     wins_t = _extract_windows_batched(Ir, tpl_corner, wext_t, bf16=bf16_extract)
     wins_j = _extract_windows_batched(J_stack, cur_corner, WEXT, bf16=bf16_extract)
-    F = pts_level.shape[1]
-    wins_gx = _conv2(wins_t.reshape(B * F, wext_t, wext_t), _SCHARR_LK_X / 32.0)
-    wins_gy = _conv2(wins_t.reshape(B * F, wext_t, wext_t), _SCHARR_LK_Y / 32.0)
-    wins_gx = wins_gx.reshape(B, F, wext_t, wext_t)
-    wins_gy = wins_gy.reshape(B, F, wext_t, wext_t)
+    # feature axis -> lanes for ALL window-space math below
+    wins_t = jnp.transpose(wins_t, (0, 2, 3, 1))      # (B, wt, wt, F)
+    wins_j = jnp.transpose(wins_j, (0, 2, 3, 1))      # (B, WEXT, WEXT, F)
+    wins_gx = _conv2_lanes(wins_t, _SCHARR_LK_X / 32.0)
+    wins_gy = _conv2_lanes(wins_t, _SCHARR_LK_Y / 32.0)
 
     # Template + gradients at the feature's exact subpixel position.
     # The integer part of the template offset is the CONSTANT 2
@@ -554,20 +614,20 @@ def _lk_prep(I_stack, J_stack, pts_level, guess, win, bf16_extract=False):
     # slices with per-feature scalar weights — same row-then-column
     # blend order as _sample_from_windows, minus its (31,36)@(36,36)
     # interp matmuls that ran at ~2% MXU utilization, 3x per level.
-    fy = (pts_level[..., 1] - jnp.floor(pts_level[..., 1]))[..., None, None]
-    fx = (pts_level[..., 0] - jnp.floor(pts_level[..., 0]))[..., None, None]
+    fy = (pts_level[..., 1] - jnp.floor(pts_level[..., 1]))[:, None, None, :]
+    fx = (pts_level[..., 0] - jnp.floor(pts_level[..., 0]))[:, None, None, :]
 
     def samp(wins):
-        tmp = (1.0 - fy) * wins[:, :, 2 : 2 + win, :] + fy * wins[:, :, 3 : 3 + win, :]
-        return (1.0 - fx) * tmp[..., 2 : 2 + win] + fx * tmp[..., 3 : 3 + win]
+        tmp = (1.0 - fy) * wins[:, 2 : 2 + win] + fy * wins[:, 3 : 3 + win]
+        return (1.0 - fx) * tmp[:, :, 2 : 2 + win] + fx * tmp[:, :, 3 : 3 + win]
 
     T = samp(wins_t)
     gx = samp(wins_gx)
     gy = samp(wins_gy)
 
-    a = (gx * gx).sum(axis=(2, 3))
-    b = (gx * gy).sum(axis=(2, 3))
-    c = (gy * gy).sum(axis=(2, 3))
+    a = (gx * gx).sum(axis=(1, 2))
+    b = (gx * gy).sum(axis=(1, 2))
+    c = (gy * gy).sum(axis=(1, 2))
     det = a * c - b * b
     min_eig = 0.5 * ((a + c) - jnp.sqrt((a - c) ** 2 + 4 * b * b)) / (win * win)
     solvable = (det > 1e-7) & (min_eig > 1e-4)
@@ -615,8 +675,7 @@ def _lk_level_all_pallas(I_stack, J_stack, pts_level, guess, valid, win, iters,
     fp = -(-F // LKP.FB) * LKP.FB
     padf = fp - F
 
-    def lanes(x):  # (B, F, h, w) -> (B, h, w, Fp)
-        x = jnp.transpose(x, (0, 2, 3, 1))
+    def lanes(x):  # already lane-major (B, h, w, F) -> padded (B, h, w, Fp)
         return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, padf)))
 
     def vec(x):  # (B, F) -> (B, Fp) float32
@@ -645,6 +704,13 @@ def _lk_level_all_pallas(I_stack, J_stack, pts_level, guess, valid, win, iters,
 
 
 def _use_pallas_lk() -> bool:
+    """Kernel path on single-device TPU runs; under a sharding mesh the
+    XLA forms run instead — the estimation jits are GSPMD-partitioned
+    there, and a pallas_call cannot be auto-partitioned."""
+    from ..utils.meshinfo import mesh_active
+
+    if mesh_active():
+        return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:

@@ -609,6 +609,40 @@ def warp_clip_blur_pallas(
     )
 
 
+def warp_pallas_sharded(src, coeffs_flat, border, *, shards: int, **kw):
+    """Per-shard speculative warp: ``_warp_pallas_call`` shard_map-ped
+    over the mesh's ``data`` (frame) axis.
+
+    Each frame's warp is independent of every other frame's, so the
+    kernel partitions trivially: every shard runs the same static plan
+    on its local n/shards frames with its local (n/shards, 8) inverse
+    coefficients — no collectives at all.  This carries the zero-sync
+    fast path (models/fastpath.py) and warp_clip onto a multi-chip
+    mesh, where a bare pallas_call inside the GSPMD-partitioned jit
+    could not run.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..utils.meshinfo import active_abstract_mesh
+
+    mesh = active_abstract_mesh()
+    if mesh is None:
+        raise ValueError("warp_pallas_sharded requires an active mesh")
+    fn = jax.shard_map(
+        lambda s, c, b: _warp_pallas_call(s, c, b, **kw),
+        mesh=mesh,
+        in_specs=(
+            P("data", *([None] * (src.ndim - 1))),
+            P("data"),
+            P(None),
+        ),
+        out_specs=P("data", None, None, None),
+        # pallas_call outputs carry no varying-mesh-axes annotation
+        check_vma=False,
+    )
+    return fn(src, coeffs_flat, border)
+
+
 def warp_clip_pallas(
     frames,
     matrices: np.ndarray,
@@ -621,23 +655,27 @@ def warp_clip_pallas(
     """Attempt the Pallas path; None when unsupported (caller falls back).
 
     ``frames`` may be numpy or a device array; the result is a device
-    array (NHWC float32).
+    array (NHWC float32).  Under a sharding mesh the kernel runs
+    shard_map-ped over the frame axis when the clip shards evenly;
+    otherwise the caller's XLA path (which GSPMD partitions) runs.
     """
+    from ..utils.meshinfo import data_shards, mesh_active
+
     if interp not in ("bilinear", "bicubic"):
         return None
     n, in_h, in_w, channels = frames.shape
     out_w, out_h = int(out_size[0]), int(out_size[1])
     if channels > 4 or min(in_h, in_w) < 32 or min(out_h, out_w) < 32:
         return None
+    shards = data_shards(int(n))
+    if mesh_active() and shards is None:
+        return None
     coeffs64 = np.asarray(coeffs, np.float64) if coeffs.dtype != np.float64 else coeffs
     plan = _plan(coeffs64, out_h, out_w, in_h, in_w, cubic=(interp == "bicubic"))
     if plan is None:
         return None
 
-    return _warp_pallas_call(
-        jnp.asarray(frames, jnp.float32),
-        jnp.asarray(coeffs64, jnp.float32).reshape(-1),
-        jnp.asarray(border, jnp.float32),
+    kw = dict(
         out_h=out_h, out_w=out_w, th=plan["th"], tw=plan["tw"],
         wh=plan["wh"], ww=plan["ww"], k=plan["k"],
         n_th=plan["n_th"], n_tw=plan["n_tw"],
@@ -646,3 +684,11 @@ def warp_clip_pallas(
         channels=channels, interp=interp, affine=plan["affine"],
         interpret=interpret,
     )
+    args = (
+        jnp.asarray(frames, jnp.float32),
+        jnp.asarray(coeffs64, jnp.float32).reshape(-1),
+        jnp.asarray(border, jnp.float32),
+    )
+    if shards is not None:
+        return warp_pallas_sharded(*args, shards=shards, **kw)
+    return _warp_pallas_call(*args, **kw)

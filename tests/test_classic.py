@@ -196,3 +196,40 @@ def test_extract_windows_matches_direct_slicing():
                 np.testing.assert_array_equal(
                     got[b, f], ref, err_msg=f"wext={wext} bf16={bf16} b={b} f={f}"
                 )
+
+
+def test_extract_windows_dma_matches_onehot():
+    """The Pallas DMA extraction (device path) is bit-identical to the
+    one-hot selection path for interior, edge, and out-of-range corners
+    — including the F-to-feature-block padding round trip."""
+    import jax.numpy as jnp
+
+    from comfyui_video_stabilizer_tpu.ops import extract_pallas as EP
+
+    rng = np.random.default_rng(11)
+    B, H, W = 4, 57, 91
+    stack = rng.random((B, H, W)).astype(np.float32)
+    for wext, F in ((49, 17), (36, 129), (13, 8)):
+        corners = np.stack(
+            [rng.integers(-30, W + 30, (B, F)), rng.integers(-30, H + 30, (B, F))],
+            axis=-1,
+        ).astype(np.int32)
+        corners[0, 0] = (0, 0)
+        corners[0, 1] = (W - 1, H - 1)
+        pad = wext
+        padded = np.pad(stack, ((0, 0), (pad, pad), (pad, pad)))
+        Hp, Wp = H + 2 * pad, W + 2 * pad
+        cy = np.clip(corners[..., 1] + pad, 0, Hp - wext)
+        cx = np.clip(corners[..., 0] + pad, 0, Wp - wext)
+        got = np.asarray(
+            EP.extract_windows_dma(
+                jnp.asarray(padded), jnp.asarray(cy), jnp.asarray(cx), wext,
+                interpret=True,
+            )
+        )
+        for b in range(B):
+            for f in range(F):
+                ref = padded[b, cy[b, f] : cy[b, f] + wext, cx[b, f] : cx[b, f] + wext]
+                np.testing.assert_array_equal(
+                    got[b, f], ref, err_msg=f"wext={wext} F={F} b={b} f={f}"
+                )

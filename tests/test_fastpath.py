@@ -271,15 +271,7 @@ def test_fastpath_classic_matches_host_engine(monkeypatch):
     assert np.quantile(np.abs(df - dh), 0.99) < 1e-3
 
 
-def test_fastpath_defers_to_sharded_production(monkeypatch):
-    """Under an active mesh the engine must take the host path even
-    with the fast path force-enabled (the sharded production engines
-    rely on GSPMD partitioning the host path's programs)."""
-    import jax
-    import numpy as np
-    from jax.sharding import Mesh
-    from comfyui_video_stabilizer_tpu.parallel import production as PR
-
+def _fastpath_spy(monkeypatch):
     monkeypatch.setenv("CVST_FASTPATH", "1")
     monkeypatch.setenv("CVST_FASTPATH_STRICT", "1")
     from comfyui_video_stabilizer_tpu.models import fastpath as FP
@@ -294,11 +286,94 @@ def test_fastpath_defers_to_sharded_production(monkeypatch):
         return r
 
     monkeypatch.setattr(FP, "run_flow_fast", spy)
+    return taken
+
+
+def test_fastpath_engages_sharded(monkeypatch):
+    """Under an active mesh with an evenly frame-shardable clip, the
+    fast path now runs SHARDED (GSPMD estimation + trajectory, sharded
+    warp) and must match the meshless host engine within the fast
+    path's parity bounds."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from comfyui_video_stabilizer_tpu.parallel import production as PR
+
+    taken = _fastpath_spy(monkeypatch)
     devs = np.array(jax.devices()[:8]).reshape(8)
     mesh = Mesh(devs, ("data",))
     frames = _shaken_clip(n=8, h=64, w=96, seed=13)
     res = PR.stabilize_flow_sharded(frames, mesh)
-    assert taken["n"] == 0, "fast path must not engage under a mesh"
+    assert taken["n"] == 1, "fast path must engage under an even mesh"
+
+    # reference: the SHARDED host engine (same mesh) — isolates the
+    # fast-path f32 trajectory drift from the sharded estimation's own
+    # f32 reassociation (which the production parity test bounds
+    # separately, parallel/production.py::sharded_stabilize_flow_check)
+    monkeypatch.setenv("CVST_FASTPATH", "0")
+    ref = PR.stabilize_flow_sharded(frames, mesh)
+    df = np.asarray(res.frames, np.float32)
+    dh = np.asarray(ref.frames, np.float32)
+    assert df.shape == dh.shape
+    assert np.quantile(np.abs(df - dh), 0.99) < 1e-3
+    pt_s = res.meta["estimated_motion"]["per_transition"]
+    pt_r = ref.meta["estimated_motion"]["per_transition"]
+    assert [e["mode"] for e in pt_s] == [e["mode"] for e in pt_r]
+
+
+def test_fastpath_sharded_pallas_warp(monkeypatch):
+    """The sharded fast path's Pallas warp runs through shard_map
+    (warp_pallas_sharded) — forced here via interpret mode on the CPU
+    mesh — and must agree with the host engine."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from comfyui_video_stabilizer_tpu.parallel import production as PR
+    import comfyui_video_stabilizer_tpu.ops.warp as OW
+    import comfyui_video_stabilizer_tpu.ops.warp_pallas as OWP
+
+    taken = _fastpath_spy(monkeypatch)
+    monkeypatch.setattr(OW, "_use_pallas", lambda interp: True)
+    real_call = OWP._warp_pallas_call
+    seen = {"n": 0}
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        seen["n"] += 1
+        return real_call(*a, **k)
+
+    monkeypatch.setattr(OWP, "_warp_pallas_call", interp_call)
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("data",))
+    frames = _shaken_clip(n=8, h=64, w=96, seed=13)
+    res = PR.stabilize_flow_sharded(frames, mesh)
+    assert taken["n"] == 1, "fast path must engage under an even mesh"
+    assert seen["n"] >= 1, "shard_map warp must reach _warp_pallas_call"
+
+    monkeypatch.setenv("CVST_FASTPATH", "0")
+    monkeypatch.setattr(OW, "_use_pallas", lambda interp: False)
+    ref = PR.stabilize_flow_sharded(frames, mesh)
+    df = np.asarray(res.frames, np.float32)
+    dh = np.asarray(ref.frames, np.float32)
+    assert df.shape == dh.shape
+    assert np.quantile(np.abs(df - dh), 0.99) < 1e-3
+
+
+def test_fastpath_defers_uneven_mesh(monkeypatch):
+    """A clip whose frame count does not divide the mesh's data axis
+    cannot frame-shard: the fast path must defer to the host engine
+    (spatial-sharding fallback, parallel/production.py)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from comfyui_video_stabilizer_tpu.parallel import production as PR
+
+    taken = _fastpath_spy(monkeypatch)
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("data",))
+    frames = _shaken_clip(n=9, h=64, w=96, seed=13)
+    res = PR.stabilize_flow_sharded(frames, mesh)
+    assert taken["n"] == 0, "fast path must not engage on an uneven clip"
     assert np.isfinite(np.asarray(res.frames)).all()
 
 
