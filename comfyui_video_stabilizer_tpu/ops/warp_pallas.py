@@ -429,19 +429,32 @@ def _make_kernel(*, th, tw, wh, ww, k, n_th, n_tw, n_samples, in_h, in_w,
                     def _(ch=ch, res=res):
                         out_ref[0, ch] = out_ref[0, ch] + res
 
-        k_fast = taps + 2
-        if k_fast < k:
-            fits = (ey_spread + taps <= k_fast) & (ex_spread + taps <= k_fast)
+        # Tiered tap passes selected by the tile's ACTUAL offset spread
+        # (exact by construction: with spread + taps <= kn every
+        # nonzero-weight tap lands inside [0, kn), so the skipped
+        # offsets carry zero weight mass identically).  Most
+        # stabilization tiles have spread 0-1 — near-constant integer
+        # displacement — so the taps^2 / (taps+1)^2 tiers carry the
+        # bulk of the clip at 2.25-4x fewer slice-FMAs than the old
+        # single taps+2 tier (device-measured on the bench clip).
+        spread = jnp.maximum(ey_spread, ex_spread)
+        tiers = [kn for kn in (taps, taps + 1, taps + 2) if kn < k] + [k]
+        lo = None
+        for kn in tiers:
+            if kn == k:
+                cond = spread + taps > lo
 
-            @pl.when(fits)
-            def _():
-                tap_pass(k_fast)
+                @pl.when(cond)
+                def _(kn=kn):
+                    tap_pass(kn)
+            else:
+                cond = (spread + taps <= kn) if lo is None else (
+                    (spread + taps > lo) & (spread + taps <= kn))
 
-            @pl.when(jnp.logical_not(fits))
-            def _():
-                tap_pass(k)
-        else:
-            tap_pass(k)
+                @pl.when(cond)
+                def _(kn=kn):
+                    tap_pass(kn)
+                lo = kn
 
     return kernel
 
