@@ -18,23 +18,27 @@ from jax.sharding import Mesh
 def make_mesh(
     n_devices: int | None = None,
     axis_names: Sequence[str] = ("data", "spatial"),
+    spatial: int | None = None,
 ) -> Mesh:
     """Build a (data x spatial) mesh over the available devices.
 
-    The 'data' axis shards the frame/time dimension (the dominant
-    parallelism for clip processing); 'spatial' shards image rows for
-    the memory-bound stages.  With a prime or small device count the
-    spatial axis degenerates to 1, which is always correct.
+    The 'data' axis shards the frame/time dimension — the
+    embarrassingly parallel dimension for clips with N >= devices —
+    so the DEFAULT is data-major: all devices on 'data', spatial=1
+    (sharding a spec over a size-1 axis is a no-op, so every
+    ('data', 'spatial') PartitionSpec in parallel/ stays valid).
+    Pass ``spatial`` explicitly to trade frame shards for row shards
+    when clips are shorter than the device count or a single frame's
+    working set dominates HBM (e.g. 8K frames).
     """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    spatial = 1
-    for cand in (4, 2):
-        if n % cand == 0 and n // cand >= 2:
-            spatial = cand
-            break
+    if spatial is None:
+        spatial = 1
+    if spatial < 1 or n % spatial:
+        raise ValueError(f"spatial={spatial} must divide the device count {n}")
     data = n // spatial
     dev_array = np.asarray(devices).reshape(data, spatial)
     return Mesh(dev_array, axis_names=tuple(axis_names))

@@ -10,6 +10,40 @@ def test_mesh_shapes():
     mesh = make_mesh(8)
     assert mesh.devices.size == 8
     assert mesh.axis_names == ("data", "spatial")
+    # data-major default: the frame axis is the embarrassingly parallel
+    # dimension for clips with N >= devices (VERDICT r4 item 6), so all
+    # 8 devices land on 'data' unless spatial sharding is requested
+    assert mesh.shape["data"] == 8
+    assert mesh.shape["spatial"] == 1
+
+
+def test_mesh_explicit_spatial():
+    import pytest
+
+    from comfyui_video_stabilizer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, spatial=4)
+    assert mesh.shape["data"] == 2
+    assert mesh.shape["spatial"] == 4
+    with pytest.raises(ValueError):
+        make_mesh(8, spatial=3)
+
+
+def test_default_mesh_engages_frame_sharding():
+    """On the default mesh, a clip with N >= devices must shard over
+    the frame axis (the fast path and the shard_mapped warp key off
+    data_shards)."""
+    import jax
+
+    from comfyui_video_stabilizer_tpu.parallel.mesh import make_mesh
+    from comfyui_video_stabilizer_tpu.utils.meshinfo import data_shards
+
+    mesh = make_mesh(8)
+    with jax.sharding.set_mesh(mesh):
+        assert data_shards(16) == 8
+        assert data_shards(8) == 8
+        # uneven clips fall back (frame axis stays whole)
+        assert data_shards(9) is None
 
 
 def test_sharded_stabilize_matches_single_device():
