@@ -64,14 +64,38 @@ def _fused_classic_fits(pts, tracked, status, seed, want_persp, n_hyp):
     return tuple(out)
 
 
-def classic_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) -> PairFits:
+def _lk_tracks_chunked(grays, tick_pairs):
+    """GFTT + pyramid + LK over all adjacent pairs, dispatched in
+    32-pair chunks with a progress tick + interrupt poll between chunk
+    dispatches (models/stabilize.py::estimation_chunk_spans).  GFTT is
+    per-frame and LK per-pair, so the concatenated results are
+    bit-identical to the single dispatch; no syncs are added."""
+    from .stabilize import estimation_chunk_spans
+
+    def one(g):
+        pts, det_counts = LK.gftt_batch(g[:-1])
+        pyr = LK.gaussian_pyramid(g)
+        tracked, status = LK.lk_track(
+            [lvl[:-1] for lvl in pyr], [lvl[1:] for lvl in pyr], pts, det_counts
+        )
+        return pts, det_counts, tracked, status
+
+    spans = estimation_chunk_spans(int(grays.shape[0]))
+    if len(spans) == 1 or tick_pairs is None:
+        return one(grays)
+    parts = []
+    for s, e, drop in spans:
+        chunk = one(grays[s:e])
+        parts.append(tuple(x[drop:] for x in chunk) if drop else chunk)
+        tick_pairs(e - 1)
+    return tuple(jnp.concatenate(xs, axis=0) for xs in zip(*parts))
+
+
+def classic_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0,
+                      tick_pairs=None) -> PairFits:
     n = grays.shape[0]
     b = n - 1
-    pts, det_counts = LK.gftt_batch(grays[:-1])
-    pyr = LK.gaussian_pyramid(grays)
-    prev_pyr = [lvl[:-1] for lvl in pyr]
-    curr_pyr = [lvl[1:] for lvl in pyr]
-    tracked, status = LK.lk_track(prev_pyr, curr_pyr, pts, det_counts)
+    pts, det_counts, tracked, status = _lk_tracks_chunked(grays, tick_pairs)
 
     want_persp = requested_mode == "perspective"
     # det_counts rides along in the estimator's single host fetch (the
@@ -124,7 +148,7 @@ def classic_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0) 
 
 def _classic_fast_path(frames, framing, transform_mode, camera_lock,
                        strength, smooth, fps, size, working_size,
-                       decimation, padding_rgb):
+                       decimation, padding_rgb, tick_pairs=None):
     """Engine hook: zero-sync device pipeline for crop_and_pad/expand
     (see models/fastpath.py).  Returns None to fall back to the host
     path."""
@@ -137,6 +161,7 @@ def _classic_fast_path(frames, framing, transform_mode, camera_lock,
         return fastpath.run_classic_fast(
             frames, framing, transform_mode, camera_lock, strength, smooth,
             fps, size, working_size, decimation, padding_rgb,
+            tick_pairs=tick_pairs,
         )
     except Exception:
         if os.environ.get("CVST_FASTPATH_STRICT"):

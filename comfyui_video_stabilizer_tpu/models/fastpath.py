@@ -486,6 +486,7 @@ def run_flow_fast(
     decimation: int,
     padding_rgb: Tuple[int, int, int],
     seed: int = 0,
+    tick_pairs=None,
 ) -> Dict | None:
     """Dispatch the full Flow crop_and_pad/expand pipeline with zero
     serial host syncs; returns the host-value dict models/stabilize.py's
@@ -528,11 +529,15 @@ def run_flow_fast(
     gh, gw = int(grays.shape[1]), int(grays.shape[2])
     h_work, w_work = gh * decimation, gw * decimation
     try:
-        samples = FD.dis_flow_fit(
+        # chunked dispatch: progress tick + interrupt poll between
+        # 32-pair chunks, no syncs (an interrupt raised by tick_pairs
+        # is a BaseException and passes through this except)
+        samples = FL._dis_samples_chunked(
             grays,
             FL.SAMPLE_STEP // decimation,
-            finest_scale=0 if decimation > 1 else FD.FINEST_SCALE,
-            model="homography" if want_persp else "similarity",
+            0 if decimation > 1 else FD.FINEST_SCALE,
+            "homography" if want_persp else "similarity",
+            tick_pairs,
         )
     except Exception:
         return None  # host path runs the DIS -> TV-L1 -> phase chain
@@ -587,6 +592,7 @@ def run_classic_fast(
     decimation: int,
     padding_rgb: Tuple[int, int, int],
     seed: int = 0,
+    tick_pairs=None,
 ) -> Dict | None:
     """Classic-estimator twin of run_flow_fast: GFTT + pyramidal LK +
     fused RANSAC fits queue straight into the shared trajectory
@@ -624,10 +630,10 @@ def run_classic_fast(
         grays = R.gray_for_estimation(frames, working_size,
                                       decimation=decimation)
     try:
-        pts, det_counts = LK.gftt_batch(grays[:-1])
-        pyr = LK.gaussian_pyramid(grays)
-        tracked, status = LK.lk_track(
-            [lvl[:-1] for lvl in pyr], [lvl[1:] for lvl in pyr], pts, det_counts
+        # chunked dispatch with progress/interrupt polls between chunks
+        # (see models/classic.py::_lk_tracks_chunked)
+        pts, det_counts, tracked, status = CL._lk_tracks_chunked(
+            grays, tick_pairs
         )
         fits = CL._fused_classic_fits(
             jnp.asarray(pts), tracked, status, seed, want_persp,

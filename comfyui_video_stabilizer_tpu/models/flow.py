@@ -103,8 +103,30 @@ def _gray_decimation(width: int, height: int, working_size) -> int:
     return dec if can_decimate(width, height, working_size, dec) else 1
 
 
+def _dis_samples_chunked(grays, step_local, finest_scale, model, tick_pairs):
+    """DIS flow over all adjacent pairs, dispatched in 32-pair chunks
+    with a progress tick + interrupt poll between chunk dispatches
+    (models/stabilize.py::estimation_chunk_spans — bit-identical to the
+    single dispatch; DIS is per-pair).  No syncs are added: the chunks
+    are device arrays concatenated lazily."""
+    from .stabilize import estimation_chunk_spans
+
+    spans = estimation_chunk_spans(int(grays.shape[0]))
+    if len(spans) == 1 or tick_pairs is None:
+        return FD.dis_flow_fit(grays, step_local, finest_scale=finest_scale,
+                               model=model)
+    parts = []
+    for s, e, drop in spans:
+        part = FD.dis_flow_fit(grays[s:e], step_local,
+                               finest_scale=finest_scale, model=model)
+        parts.append(part[drop:] if drop else part)
+        tick_pairs(e - 1)
+    return jnp.concatenate(parts, axis=0)
+
+
 def flow_estimator(
-    grays: np.ndarray, requested_mode: str, *, seed: int = 0, decimation: int = 1
+    grays: np.ndarray, requested_mode: str, *, seed: int = 0, decimation: int = 1,
+    tick_pairs=None,
 ) -> PairFits:
     n, h, w = grays.shape
     b = n - 1
@@ -121,11 +143,12 @@ def flow_estimator(
         # Pre-decimated grays (see _gray_decimation) enter the solve at
         # what would be its finest level; finest_scale=0 keeps every
         # physical level identical to the undecimated solve.
-        samples = FD.dis_flow_fit(
+        samples = _dis_samples_chunked(
             grays,
             SAMPLE_STEP // decimation,
-            finest_scale=0 if decimation > 1 else FD.FINEST_SCALE,
-            model="homography" if want_persp else "similarity",
+            0 if decimation > 1 else FD.FINEST_SCALE,
+            "homography" if want_persp else "similarity",
+            tick_pairs,
         )
         if decimation > 1:
             samples = samples * float(decimation)  # back to working px units
@@ -227,7 +250,7 @@ flow_estimator.gray_decimation = _gray_decimation
 
 def _flow_fast_path(frames, framing, transform_mode, camera_lock,
                     strength, smooth, fps, size, working_size,
-                    decimation, padding_rgb):
+                    decimation, padding_rgb, tick_pairs=None):
     """Engine hook: zero-sync device pipeline for crop_and_pad/expand
     (see models/fastpath.py).  Returns None to fall back to the host
     path."""
@@ -240,6 +263,7 @@ def _flow_fast_path(frames, framing, transform_mode, camera_lock,
         return fastpath.run_flow_fast(
             frames, framing, transform_mode, camera_lock, strength, smooth,
             fps, size, working_size, decimation, padding_rgb,
+            tick_pairs=tick_pairs,
         )
     except Exception:
         if os.environ.get("CVST_FASTPATH_STRICT"):

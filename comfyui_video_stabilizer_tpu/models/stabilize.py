@@ -51,6 +51,52 @@ MODE_PRIORITY: Dict[str, List[str]] = {
     "translation": ["translation"],
 }
 
+# Estimation dispatch granularity: pairs per chunk.  The reference
+# polls interruption every pair and batches progress updates stride-10
+# through its estimation loop (/root/reference/nodes/
+# video_stabilizer_classic.py:221-223,279-284); the batched engines
+# dispatch estimation in 32-pair chunks with a host progress tick +
+# interrupt poll between chunks.  Dispatch is async, so chunking adds
+# NO device syncs — a raised interrupt simply stops enqueueing.
+ESTIMATION_CHUNK_PAIRS = 32
+
+
+class EstimationInterrupted(BaseException):
+    """Shield for interrupts raised inside chunked-estimation progress
+    ticks.  Estimators wrap their primary dispatch in ``except
+    Exception`` blocks (backend degradation: DIS -> TV-L1 -> phase;
+    fast path -> host path) — a cooperative-cancellation exception must
+    not be mistaken for a backend failure, so the engine's tick closure
+    re-raises it as this BaseException (immune to ``except Exception``)
+    and unwraps it at the engine boundary."""
+
+    @property
+    def original(self) -> BaseException:
+        return self.args[0]
+
+
+def estimation_chunk_spans(n_frames: int, chunk: int = ESTIMATION_CHUNK_PAIRS):
+    """Frame-slice plan [(start, end, drop_leading_pairs)] covering all
+    n_frames-1 adjacent pairs in `chunk`-pair chunks.
+
+    Every chunk spans exactly chunk+1 frames (ONE compiled shape); the
+    final chunk is anchored at the clip's end and overlaps its
+    predecessor, with the duplicated leading pairs dropped — so each
+    pair's estimate is computed from the same inputs as the unchunked
+    dispatch and the results are bit-identical to it.
+    """
+    b = n_frames - 1
+    if b <= chunk:
+        return [(0, n_frames, 0)]
+    spans = []
+    s = 0
+    while s + chunk < b:
+        spans.append((s, s + chunk + 1, 0))
+        s += chunk
+    start = b - chunk
+    spans.append((start, n_frames, s - start))
+    return spans
+
 
 @dataclass
 class PairFits:
@@ -240,15 +286,34 @@ def stabilize_clip(
     # round-trip; returns every host value the meta assembly below
     # needs.  None -> exact host path (which then computes its own
     # grays).
+    def _tick_pairs(done_pairs: int) -> None:
+        # chunked-estimation progress: called between chunk DISPATCHES
+        # (no syncs); an interrupt raised here stops enqueueing further
+        # chunks, matching the reference's per-pair polling granularity
+        try:
+            _tick(min(int(done_pairs), estimation_steps), progress_total)
+        except BaseException as exc:
+            raise EstimationInterrupted(exc) from exc
+
+    # chunked dispatch only when an observer exists: with no progress
+    # bar and no interrupt poll, the single whole-clip dispatch is the
+    # same values with one less host loop
+    tick_pairs_cb = (
+        _tick_pairs if (progress is not None or interrupt_check is not None) else None
+    )
+
     fast = None
     fast_fn = getattr(estimator, "fast_path", None)
     if fast_fn is not None and framing_mode in ("crop_and_pad", "expand"):
         with timer.stage("estimation"):
-            fast = fast_fn(
-                frames, framing_mode, transform_mode, camera_lock, strength,
-                smooth, fps_effective, (width, height), working_size,
-                decimation, padding_rgb,
-            )
+            try:
+                fast = fast_fn(
+                    frames, framing_mode, transform_mode, camera_lock, strength,
+                    smooth, fps_effective, (width, height), working_size,
+                    decimation, padding_rgb, tick_pairs=tick_pairs_cb,
+                )
+            except EstimationInterrupted as ei:
+                raise ei.original
     if fast is not None:
         matrices = fast["matrices"]
         modes_used = fast["modes_used"]
@@ -267,11 +332,15 @@ def stabilize_clip(
         with timer.stage("grayscale_downscale"):
             grays = R.gray_for_estimation(frames, working_size, decimation=decimation)
         with timer.stage("estimation"):
-            fits = (
-                estimator(grays, transform_mode, decimation=decimation)
-                if decimation > 1
-                else estimator(grays, transform_mode)
-            )
+            try:
+                fits = (
+                    estimator(grays, transform_mode, decimation=decimation,
+                              tick_pairs=tick_pairs_cb)
+                    if decimation > 1
+                    else estimator(grays, transform_mode, tick_pairs=tick_pairs_cb)
+                )
+            except EstimationInterrupted as ei:
+                raise ei.original
         matrices, modes_used, confidences, residuals = sticky_select(transform_mode, fits)
         if working_size is not None:
             matrices = G.rescale_transforms_to_full(matrices, (width, height), working_size)
