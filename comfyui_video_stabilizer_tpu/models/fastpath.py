@@ -282,7 +282,7 @@ def _gray_pool_factors(width, height, working_size, decimation):
                      "framing", "bucket"),
 )
 def _traj_program(
-    strength, *fits,
+    strength, keep_fov, *fits,
     kind, mode, want_persp, camera_lock, window, width, height, scale_xy,
     total_pts, plan, framing="crop_and_pad", bucket=None,
 ):
@@ -397,6 +397,95 @@ def _traj_program(
          [0.0, float(height), 1.0], [float(width), float(height), 1.0]],
         jnp.float32,
     )
+
+    if framing == "crop":
+        # keep_fov solver, device twin of models/framing.py::
+        # compute_crop_with_keep_fov_parametric (reference
+        # stabilizer_utils.py:507-613): an 18-iteration binary search
+        # over the stabilization scale.  Midpoints are dyadic (exact in
+        # f32), so the search visits the same scales as the host's f64
+        # loop; only the ratio comparisons carry f32 rounding.  The
+        # mask finalize + no-padding refine run in _crop_finalize on
+        # the selected candidate.
+        eps = 1e-4
+        wf, hf = jnp.float32(width), jnp.float32(height)
+        margin_px = jnp.float32(max(0.5, 0.02 * max(width, height)))
+
+        def eval_candidate(scale):
+            mats = _mats_from_params(diffs * scale, mode)
+            wc = jnp.einsum("nij,kj->nki", mats, corners, precision=hi)
+            cxy = wc[..., :2] / wc[..., 2:3]
+            mn = cxy.min(axis=1)
+            mx = cxy.max(axis=1)
+            x0 = mn[:, 0].max(); y0 = mn[:, 1].max()
+            x1 = mx[:, 0].min(); y1 = mx[:, 1].min()
+            safe_w = jnp.maximum(0.0, x1 - x0)
+            safe_h = jnp.maximum(0.0, y1 - y0)
+            margin = jnp.minimum(margin_px,
+                                 jnp.minimum(safe_w * 0.25, safe_h * 0.25))
+            sx0 = x0 + margin
+            sy0 = y0 + margin
+            sw = jnp.maximum(0.0, safe_w - 2.0 * margin)
+            sh = jnp.maximum(0.0, safe_h - 2.0 * margin)
+            overlap = (sw > 0.0) & (sh > 0.0)
+            ratio = jnp.where(
+                overlap, jnp.minimum(1.0, jnp.minimum(sw / wf, sh / hf)), 0.0
+            )
+            return ratio, overlap, (mats, mn, mx, sx0, sy0, sw, sh)
+
+        kf_target = keep_fov
+
+        def search_step(_, carry):
+            low, high, found, best = carry
+            mid = 0.5 * (low + high)
+            ratio, _, _ = eval_candidate(mid)
+            ok = ratio >= kf_target - eps
+            return (jnp.where(ok, mid, low), jnp.where(ok, high, mid),
+                    found | ok, jnp.where(ok, mid, best))
+
+        low0 = jnp.float32(0.0)
+        ratio_full, overlap_full, _ = eval_candidate(jnp.float32(1.0))
+        _, _, found, best = jax.lax.fori_loop(
+            0, 18, search_step,
+            (low0, jnp.float32(1.0), jnp.asarray(False), low0),
+        )
+        # host selection order: disabled (keep_fov<=eps) -> met at full
+        # scale -> best search candidate -> failed (scale 0)
+        s_star = jnp.where(
+            kf_target <= eps,
+            jnp.where(overlap_full, 1.0, 0.0),
+            jnp.where(ratio_full >= kf_target - eps, 1.0,
+                      jnp.where(found, best, 0.0)),
+        )
+        _, overlap_c, (mats_c, mn_c, mx_c, sx0, sy0, sw, sh) = (
+            eval_candidate(s_star)
+        )
+        crop_ratio = jnp.minimum(1.0, jnp.minimum(sw / wf, sh / hf))
+        crop_w = wf * crop_ratio
+        crop_h = hf * crop_ratio
+        cx0 = sx0 + (sw - crop_w) * 0.5
+        cy0 = sy0 + (sh - crop_h) * 0.5
+        cscale = jnp.where(overlap_c, wf / jnp.maximum(crop_w, 1e-6), 1.0)
+        cmat = jnp.where(
+            overlap_c,
+            jnp.stack([cscale, 0.0, -cscale * cx0,
+                       0.0, cscale, -cscale * cy0,
+                       0.0, 0.0, 1.0]).reshape(3, 3),
+            eye,
+        )
+        final = jnp.einsum("ij,njk->nik", cmat, mats_c, precision=hi)
+        finite = jnp.isfinite(final).all()
+        return dict(
+            chosen=chosen, conf=conf, resid=resid, matrices=Mf,
+            path=path, target=target, diffs=diffs,
+            apply=mats_c, final=final, coeffs=_inverse_coeffs_device(final),
+            mins=mn_c, maxs=mx_c, offsets=jnp.zeros(2, jnp.float32),
+            degenerate=deg, guard=finite, fit=finite,
+            out_wh=jnp.asarray([width, height], jnp.int32),
+            crop_ratio_full=ratio_full, crop_overlap_full=overlap_full,
+            crop_found=found, crop_best_scale=best, crop_s_star=s_star,
+        )
+
     warped = jnp.einsum("nij,kj->nki", apply_m, corners, precision=hi)
     xy = warped[..., :2] / warped[..., 2:3]
     mins = xy.min(axis=1)
@@ -437,6 +526,128 @@ def _traj_program(
     )
 
 
+def _round_half_even_half(v: jnp.ndarray) -> jnp.ndarray:
+    """round(v / 2) with banker's rounding for non-negative int32 v —
+    the device twin of Python's round((height - crop_h) * 0.5) in
+    ops/morphology.py::largest_aspect_ratio_rectangle (the .5 ties are
+    exact, so only the half-to-even rule matters)."""
+    half = v // 2
+    return jnp.where(v % 2 == 0, half,
+                     jnp.where(half % 2 == 0, half, half + 1))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "iters"))
+def _crop_finalize(final_pre, crop_w_table, *, width, height, iters):
+    """Mask finalize + no-padding refine for crop framing, on device.
+
+    Device twin of models/framing.py::finalize_with_masks +
+    refine_no_padding_crop (reference stabilizer_utils.py:448-504,
+    614-656): ONE nearest-coverage stack feeds both the per-frame
+    3x3-close bbox ratio (met/clamped decision) and the all-frames AND
+    mask whose integral image drives the aspect-rectangle binary
+    search.  The search is a fixed-``iters`` fori_loop over the crop
+    height; ``crop_w_table`` is the host-precomputed exact
+    ceil(aspect * h) table, so the width arithmetic is pure int32 and
+    bit-identical to the host search.  Dynamic-shift rolls replace the
+    host's integral slicing (no scalarized gathers on TPU).
+    """
+    from ..ops import morphology as M
+    from ..ops import warp as W
+
+    wf, hf = jnp.float32(width), jnp.float32(height)
+    coeffs_pre = _inverse_coeffs_device(final_pre)
+    xn, yn = W._nearest_coords(coeffs_pre, height, width)
+    cover = ((xn >= 0) & (xn < width) & (yn >= 0) & (yn < height)).astype(
+        jnp.float32
+    )
+
+    # --- keep_fov ratio_final: per-frame 3x3 close -> bbox min ratio
+    closed = M._minpool(M._maxpool(cover, 1), 1)
+    rows_any = jnp.any(closed > 0.5, axis=2)  # (N, H)
+    cols_any = jnp.any(closed > 0.5, axis=1)  # (N, W)
+    y_idx = jnp.arange(height)[None, :]
+    x_idx = jnp.arange(width)[None, :]
+    big = jnp.iinfo(jnp.int32).max
+    y_min = jnp.min(jnp.where(rows_any, y_idx, big), axis=1)
+    y_max = jnp.max(jnp.where(rows_any, y_idx, -1), axis=1)
+    x_min = jnp.min(jnp.where(cols_any, x_idx, big), axis=1)
+    x_max = jnp.max(jnp.where(cols_any, x_idx, -1), axis=1)
+    ratios = jnp.where(
+        x_max >= 0,
+        jnp.minimum(
+            jnp.maximum(1.0, (x_max - x_min + 1).astype(jnp.float32)) / wf,
+            jnp.maximum(1.0, (y_max - y_min + 1).astype(jnp.float32)) / hf,
+        ),
+        0.0,
+    )
+    ratio_final = ratios.min()
+
+    # --- no-padding refine: AND mask, erode 1, integral, rect search
+    common = M._minpool(cover.min(axis=0)[None], 1)[0]  # (H, W)
+    cnt = (common > 0.5).astype(jnp.int32)
+    integral = jnp.pad(
+        jnp.cumsum(jnp.cumsum(cnt, axis=0), axis=1), ((1, 0), (1, 0))
+    )  # (H+1, W+1) summed-area table, exact int32
+    yy = jnp.arange(height + 1, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(width + 1, dtype=jnp.int32)[None, :]
+
+    def search_step(_, carry):
+        low, high, found, bx, by, bh = carry
+        cont = low <= high
+        ch = (low + high) // 2
+        cw = crop_w_table[jnp.clip(ch, 0, height)]
+        size_ok = (ch >= 1) & (ch <= height) & (cw <= width) & (cw >= 1)
+        i_dd = jnp.roll(jnp.roll(integral, -ch, axis=0), -cw, axis=1)
+        i_d0 = jnp.roll(integral, -ch, axis=0)
+        i_0d = jnp.roll(integral, -cw, axis=1)
+        sums = i_dd - i_d0 - i_0d + integral
+        in_range = (yy <= height - ch) & (xx <= width - cw)
+        matches = in_range & (sums == ch * cw) & size_ok
+        any_fit = matches.any()
+        # centered placement preferred; else first match in row-major
+        # order (device argmax == host np.argmax over the valid region)
+        y0c = _round_half_even_half(height - ch)
+        x0c = _round_half_even_half(width - cw)
+        centered = matches[y0c, x0c]
+        flat = jnp.argmax(matches.reshape(-1).astype(jnp.int8))
+        x0 = jnp.where(centered, x0c, flat % (width + 1))
+        y0 = jnp.where(centered, y0c, flat // (width + 1))
+        ok = cont & any_fit
+        low2 = jnp.where(cont & any_fit, ch + 1, low)
+        high2 = jnp.where(cont & ~any_fit, ch - 1, high)
+        return (low2, high2, found | ok,
+                jnp.where(ok, x0.astype(jnp.int32), bx),
+                jnp.where(ok, y0.astype(jnp.int32), by),
+                jnp.where(ok, ch, bh))
+
+    hi0 = jnp.int32(
+        min(height, int(np.floor(width / (np.float64(width) / np.float64(height)))))
+    )
+    zero = jnp.int32(0)
+    _, _, refine_ok, bx, by, bh = jax.lax.fori_loop(
+        0, iters, search_step,
+        (jnp.int32(1), hi0, jnp.asarray(False), zero, zero, zero),
+    )
+
+    # crop matrix: scale = width / (aspect * crop_h) == height / crop_h
+    cscale = jnp.where(refine_ok, hf / jnp.maximum(bh.astype(jnp.float32), 1.0), 1.0)
+    x0f = bx.astype(jnp.float32)
+    y0f = by.astype(jnp.float32)
+    cmat = jnp.stack([cscale, 0.0, -cscale * x0f,
+                      0.0, cscale, -cscale * y0f,
+                      0.0, 0.0, 1.0]).reshape(3, 3)
+    refined = jnp.einsum("ij,njk->nik", cmat, final_pre,
+                         precision=jax.lax.Precision.HIGHEST)
+    final_out = jnp.where(refine_ok, refined, final_pre)
+    return dict(
+        final=final_out,
+        coeffs=_inverse_coeffs_device(final_out),
+        ratio_final=ratio_final,
+        refine_ok=refine_ok,
+        rect=jnp.stack([bx, by, bh]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------
@@ -473,6 +684,35 @@ def _out_dims(framing: str, height: int, width: int) -> Tuple[int, int]:
     return height + 2 * EXPAND_MARGIN_PX, width + 2 * EXPAND_MARGIN_PX
 
 
+def _crop_gate(framing: str, keep_fov: float, frames, n: int) -> bool:
+    """True when crop framing must defer to the host engine: the
+    keep_fov~=1 bypass returns original frames without a warp, and a
+    mesh run routes crop through the sharded production engine (the
+    finalize program's coverage stack has no sharded input)."""
+    if framing != "crop":
+        return False
+    if float(np.clip(keep_fov, 0.0, 1.0)) >= 0.9999:
+        return True
+    from ..utils.meshinfo import active_abstract_mesh
+
+    if active_abstract_mesh() is not None:
+        return True
+    try:
+        return len(frames.sharding.device_set) > 1
+    except Exception:
+        return False
+
+
+def _crop_w_table(width: int, height: int) -> np.ndarray:
+    """Exact ceil(aspect * crop_h) table for the device rectangle
+    search, computed in the same float64 expression as the host
+    (ops/morphology.py:130)."""
+    aspect = np.float64(width) / np.float64(height)
+    return np.ceil(aspect * np.arange(height + 1, dtype=np.float64)).astype(
+        np.int32
+    )
+
+
 def run_flow_fast(
     frames,
     framing: str,
@@ -487,17 +727,19 @@ def run_flow_fast(
     padding_rgb: Tuple[int, int, int],
     seed: int = 0,
     tick_pairs=None,
+    keep_fov: float = 1.0,
 ) -> Dict | None:
-    """Dispatch the full Flow crop_and_pad/expand pipeline with zero
-    serial host syncs; returns the host-value dict models/stabilize.py's
-    meta assembly consumes, or None to fall back to the standard engine."""
+    """Dispatch the full Flow crop/crop_and_pad/expand pipeline with
+    zero serial host syncs; returns the host-value dict
+    models/stabilize.py's meta assembly consumes, or None to fall back
+    to the standard engine."""
     from ..ops import flow_dis as FD
     from ..ops import ransac as RS
     from ..ops import warp as W
     from . import flow as FL
     from . import geometry as G
 
-    if not enabled() or framing not in ("crop_and_pad", "expand"):
+    if not enabled() or framing not in ("crop", "crop_and_pad", "expand"):
         return None
     width, height = int(size[0]), int(size[1])
     if getattr(frames, "ndim", 0) != 4 or frames.shape[-1] != 3:
@@ -506,17 +748,27 @@ def run_flow_fast(
     out_h_b, out_w_b = _out_dims(framing, height, width)
     if W.will_stream(n, height, width, out_h_b, out_w_b) or n < 2:
         return None
-    if _mesh_defer(frames, n):
+    if _crop_gate(framing, keep_fov, frames, n):
+        return None
+    if framing != "crop" and _mesh_defer(frames, n):
         return None
     # same single upload the host path pays at warp time (no-op for
     # device-resident clips)
     frames = W._device_frames(frames)
 
     want_persp = transform_mode == "perspective"
-    plan = _speculative_plan(out_h_b, out_w_b, height, width,
-                             affine=not want_persp)
     pre_padded = None
-    factors = _gray_pool_factors(width, height, working_size, decimation)
+    if framing == "crop":
+        # crop's refined matrices carry an aspect-crop zoom whose
+        # per-tile displacement span breaks the shift-window Pallas
+        # plan, so the warp dispatches through the XLA sampler — no
+        # speculative plan, no pre-padded planar source.
+        plan = None
+        factors = None
+    else:
+        plan = _speculative_plan(out_h_b, out_w_b, height, width,
+                                 affine=not want_persp)
+        factors = _gray_pool_factors(width, height, working_size, decimation)
     if factors is not None and W._use_pallas("bilinear"):
         pre_padded, grays = _ingest(frames, plan["pad_y"], plan["pad_x"],
                                     factors[0], factors[1])
@@ -560,11 +812,13 @@ def run_flow_fast(
         ((h_work + FL.SAMPLE_STEP - 1) // FL.SAMPLE_STEP)
         * ((w_work + FL.SAMPLE_STEP - 1) // FL.SAMPLE_STEP)
     )
-    plan_key = (plan["k"], plan["th"], plan["tw"], plan["n_th"], plan["n_tw"],
-                plan["sub"], plan["margin"], plan["extra"])
+    plan_key = None if plan is None else (
+        plan["k"], plan["th"], plan["tw"], plan["n_th"], plan["n_tw"],
+        plan["sub"], plan["margin"], plan["extra"])
+    keep_fov_c = float(np.clip(keep_fov, 0.0, 1.0))
 
     out = _traj_program(
-        jnp.float32(strength_c), *fits,
+        jnp.float32(strength_c), jnp.float32(keep_fov_c), *fits,
         kind="flow", mode=transform_mode, want_persp=want_persp,
         camera_lock=camera_lock, window=window, width=width, height=height,
         scale_xy=scale_xy, total_pts=total_pts, plan=plan_key,
@@ -576,6 +830,7 @@ def run_flow_fast(
         extra_meta={"flow_backend": "DIS", "flow_fallback_reason": None},
         strength_c=strength_c, smooth_c=smooth_c, has_resid=True,
         pre_padded=pre_padded, framing=framing, out_dims=(out_h_b, out_w_b),
+        keep_fov_c=keep_fov_c,
     )
 
 
@@ -593,6 +848,7 @@ def run_classic_fast(
     padding_rgb: Tuple[int, int, int],
     seed: int = 0,
     tick_pairs=None,
+    keep_fov: float = 1.0,
 ) -> Dict | None:
     """Classic-estimator twin of run_flow_fast: GFTT + pyramidal LK +
     fused RANSAC fits queue straight into the shared trajectory
@@ -603,7 +859,7 @@ def run_classic_fast(
     from . import classic as CL
     from . import geometry as G
 
-    if not enabled() or framing not in ("crop_and_pad", "expand"):
+    if not enabled() or framing not in ("crop", "crop_and_pad", "expand"):
         return None
     width, height = int(size[0]), int(size[1])
     if getattr(frames, "ndim", 0) != 4 or frames.shape[-1] != 3:
@@ -612,15 +868,21 @@ def run_classic_fast(
     out_h_b, out_w_b = _out_dims(framing, height, width)
     if W.will_stream(n, height, width, out_h_b, out_w_b) or n < 2:
         return None
-    if _mesh_defer(frames, n):
+    if _crop_gate(framing, keep_fov, frames, n):
+        return None
+    if framing != "crop" and _mesh_defer(frames, n):
         return None
     frames = W._device_frames(frames)
 
     want_persp = transform_mode == "perspective"
-    plan = _speculative_plan(out_h_b, out_w_b, height, width,
-                             affine=not want_persp)
     pre_padded = None
-    factors = _gray_pool_factors(width, height, working_size, decimation)
+    if framing == "crop":
+        plan = None  # XLA warp — see run_flow_fast
+        factors = None
+    else:
+        plan = _speculative_plan(out_h_b, out_w_b, height, width,
+                                 affine=not want_persp)
+        factors = _gray_pool_factors(width, height, working_size, decimation)
     if factors is not None and W._use_pallas("bilinear"):
         pre_padded, grays = _ingest(frames, plan["pad_y"], plan["pad_x"],
                                     factors[0], factors[1])
@@ -651,11 +913,13 @@ def run_classic_fast(
     if camera_lock:
         smooth_c = max(smooth_c, 0.85)
     window = G.smoothing_window(smooth_c, fps) if smooth_c > 0.0 else 0
-    plan_key = (plan["k"], plan["th"], plan["tw"], plan["n_th"], plan["n_tw"],
-                plan["sub"], plan["margin"], plan["extra"])
+    plan_key = None if plan is None else (
+        plan["k"], plan["th"], plan["tw"], plan["n_th"], plan["n_tw"],
+        plan["sub"], plan["margin"], plan["extra"])
+    keep_fov_c = float(np.clip(keep_fov, 0.0, 1.0))
 
     out = _traj_program(
-        jnp.float32(strength_c), det_counts, *fits,
+        jnp.float32(strength_c), jnp.float32(keep_fov_c), det_counts, *fits,
         kind="classic", mode=transform_mode, want_persp=want_persp,
         camera_lock=camera_lock, window=window, width=width, height=height,
         scale_xy=scale_xy, total_pts=1, plan=plan_key,
@@ -665,7 +929,7 @@ def run_classic_fast(
         frames, out, plan, want_persp, width, height, padding_rgb,
         extra_meta={}, strength_c=strength_c, smooth_c=smooth_c,
         has_resid=False, pre_padded=pre_padded, framing=framing,
-        out_dims=(out_h_b, out_w_b),
+        out_dims=(out_h_b, out_w_b), keep_fov_c=keep_fov_c,
     )
 
 
@@ -693,7 +957,7 @@ def _slice_transpose_planar(x, h, w):
 def _dispatch_and_collect(
     frames, out, plan, want_persp, width, height, padding_rgb, *,
     extra_meta, strength_c, smooth_c, has_resid, pre_padded=None,
-    framing="crop_and_pad", out_dims=None,
+    framing="crop_and_pad", out_dims=None, keep_fov_c=1.0,
 ):
     """Queue stats + the speculative warp, then do the single
     (warp-overlapped) diagnostics fetch and build the host-value dict
@@ -701,7 +965,18 @@ def _dispatch_and_collect(
     from ..ops import warp as W
 
     out_h_b, out_w_b = out_dims if out_dims is not None else (height, width)
-    # crop_and_pad: stats queued before the warp so their fetch
+    crop_fin = None
+    if framing == "crop":
+        # mask finalize + no-padding refine appended to the dispatch
+        # queue; the refined coefficients feed the stats + warp below
+        hi0 = min(height, int(np.floor(
+            width / (np.float64(width) / np.float64(height)))))
+        crop_fin = _crop_finalize(
+            out["final"], jnp.asarray(_crop_w_table(width, height)),
+            width=width, height=height, iters=max(1, hi0).bit_length() + 1,
+        )
+        out = {**out, "final": crop_fin["final"], "coeffs": crop_fin["coeffs"]}
+    # crop/crop_and_pad: stats queued before the warp so their fetch
     # overlaps warp compute.  expand: stats queued AFTER the warp —
     # at 1080p/96f the bucket mask (~1 GB) on top of the warp's peak
     # live set (source + padded planar + planar & NHWC bucket outputs,
@@ -711,7 +986,7 @@ def _dispatch_and_collect(
             out["coeffs"], out_h_b, out_w_b, height, width
         )
     border = np.asarray(padding_rgb, np.float32) / 255.0
-    use_pallas = W._use_pallas("bilinear")
+    use_pallas = W._use_pallas("bilinear") and framing != "crop"
     if use_pallas:
         from ..ops import warp_pallas as WP
         from ..utils.meshinfo import data_shards
@@ -754,14 +1029,20 @@ def _dispatch_and_collect(
         src = pre_padded = None  # noqa: F841
 
     # ONE host fetch, overlapping the queued warp
+    crop_diag_dev = () if crop_fin is None else (
+        out["crop_ratio_full"], out["crop_overlap_full"], out["crop_found"],
+        out["crop_best_scale"], out["crop_s_star"], crop_fin["ratio_final"],
+        crop_fin["refine_ok"], crop_fin["rect"],
+    )
     diag = jax.device_get(
         (out["guard"], out["fit"], out["out_wh"], out["chosen"], out["conf"],
          out["resid"], out["matrices"], out["path"], out["target"],
          out["diffs"], out["apply"], out["final"], out["mins"], out["maxs"],
-         out["offsets"], out["degenerate"], ratios)
+         out["offsets"], out["degenerate"], ratios) + crop_diag_dev
     )
     (guard, fit, out_wh, chosen, conf, resid, matrices, path, target, diffs,
-     apply_m, final, mins, maxs, offsets, degenerate, ratios_np) = diag
+     apply_m, final, mins, maxs, offsets, degenerate, ratios_np) = diag[:17]
+    crop_diag = diag[17:]
 
     if not np.isfinite(final).all():
         return None  # engine re-runs the full host path
@@ -830,4 +1111,54 @@ def _dispatch_and_collect(
     )
     if output_size is not None:
         result["output_size"] = output_size
+    if crop_fin is not None:
+        # statuses/notes reconstructed from fetched codes, byte-matching
+        # models/framing.py::compute_crop_with_keep_fov_parametric +
+        # refine_no_padding_crop (reference stabilizer_utils.py:560-613)
+        (ratio_full, overlap_full, found, best_scale, s_star,
+         ratio_final, refine_ok, rect) = crop_diag
+        eps = 1e-4
+        kf = keep_fov_c
+        if kf <= eps:
+            status = "disabled"
+            note = (
+                None if bool(overlap_full) else
+                "No common crop region at full stabilization; "
+                "stabilization was disabled."
+            )
+            scale = float(s_star)
+        elif float(ratio_full) >= kf - eps:
+            status, note, scale = "met", None, 1.0
+        elif not bool(found):
+            status = "failed"
+            note = (f"keep_fov target {kf:.3f} could not be satisfied "
+                    f"even with zero stabilisation.")
+            scale = 0.0
+        else:
+            scale = float(best_scale)
+            if float(ratio_final) >= kf - eps:
+                status, note = "met", None
+            else:
+                status = "clamped"
+                note = (f"keep_fov target {kf:.3f} reduced to "
+                        f"{float(ratio_final):.3f} at stabilisation scale "
+                        f"{scale:.3f}.")
+        if bool(refine_ok):
+            aspect = np.float64(width) / np.float64(height)
+            crop_origin = [float(rect[0]), float(rect[1])]
+            crop_size = [float(aspect * np.float64(int(rect[2]))),
+                         float(rect[2])]
+            kfe = 1.0
+        else:
+            crop_origin = [0.0, 0.0]
+            crop_size = [float(width), float(height)]
+            kfe = 0.0
+        result.update(
+            keep_fov_status=status,
+            keep_fov_note=note,
+            keep_fov_effective=kfe,
+            stabilization_scale=scale,
+            crop_origin=crop_origin,
+            crop_size=crop_size,
+        )
     return result

@@ -250,10 +250,10 @@ flow_estimator.gray_decimation = _gray_decimation
 
 def _flow_fast_path(frames, framing, transform_mode, camera_lock,
                     strength, smooth, fps, size, working_size,
-                    decimation, padding_rgb, tick_pairs=None):
-    """Engine hook: zero-sync device pipeline for crop_and_pad/expand
-    (see models/fastpath.py).  Returns None to fall back to the host
-    path."""
+                    decimation, padding_rgb, tick_pairs=None, keep_fov=1.0):
+    """Engine hook: zero-sync device pipeline for crop/crop_and_pad/
+    expand (see models/fastpath.py).  Returns None to fall back to the
+    host path."""
     import logging
     import os
 
@@ -263,7 +263,7 @@ def _flow_fast_path(frames, framing, transform_mode, camera_lock,
         return fastpath.run_flow_fast(
             frames, framing, transform_mode, camera_lock, strength, smooth,
             fps, size, working_size, decimation, padding_rgb,
-            tick_pairs=tick_pairs,
+            tick_pairs=tick_pairs, keep_fov=keep_fov,
         )
     except Exception:
         if os.environ.get("CVST_FASTPATH_STRICT"):

@@ -304,13 +304,14 @@ def stabilize_clip(
 
     fast = None
     fast_fn = getattr(estimator, "fast_path", None)
-    if fast_fn is not None and framing_mode in ("crop_and_pad", "expand"):
+    if fast_fn is not None and framing_mode in ("crop", "crop_and_pad", "expand"):
         with timer.stage("estimation"):
             try:
                 fast = fast_fn(
                     frames, framing_mode, transform_mode, camera_lock, strength,
                     smooth, fps_effective, (width, height), working_size,
                     decimation, padding_rgb, tick_pairs=tick_pairs_cb,
+                    keep_fov=keep_fov,
                 )
             except EstimationInterrupted as ei:
                 raise ei.original
@@ -417,40 +418,53 @@ def stabilize_clip(
             _tick(progress_total, progress_total)
             return StabilizationResult(frames.copy(), zero_masks, _attach_motion_meta(meta))
 
-        safety_margin_px = max(0.5, 0.02 * max(width, height))
-        (
-            final_matrices,
-            apply_matrices,
-            _content_masks,
-            keep_fov_effective_value,
-            keep_fov_status,
-            keep_fov_note,
-            stabilization_scale,
-            crop_origin,
-            crop_size,
-        ) = F.compute_crop_with_keep_fov_parametric(
-            base_mode,
-            delta_params_full,
-            width,
-            height,
-            keep_fov_clamped,
-            safety_margin_px,
-            interrupt_check=interrupt_check,
-            return_masks=False,
-        )
-        (
-            final_matrices,
-            _content_masks,
-            crop_origin,
-            crop_size,
-            keep_fov_effective_value,
-        ) = F.refine_no_padding_crop(
-            final_matrices,
-            width,
-            height,
-            safety_shrink_px=1,
-            interrupt_check=interrupt_check,
-        )
+        if fast is not None:
+            # keep_fov solver + no-padding refine already ran on device
+            # (models/fastpath.py::_traj_program crop branch +
+            # _crop_finalize); statuses were reconstructed host-side
+            apply_matrices = fast["apply_matrices"]
+            final_matrices = fast["final_matrices"]
+            keep_fov_status = fast["keep_fov_status"]
+            keep_fov_note = fast["keep_fov_note"]
+            keep_fov_effective_value = fast["keep_fov_effective"]
+            stabilization_scale = fast["stabilization_scale"]
+            crop_origin = list(fast["crop_origin"])
+            crop_size = list(fast["crop_size"])
+        else:
+            safety_margin_px = max(0.5, 0.02 * max(width, height))
+            (
+                final_matrices,
+                apply_matrices,
+                _content_masks,
+                keep_fov_effective_value,
+                keep_fov_status,
+                keep_fov_note,
+                stabilization_scale,
+                crop_origin,
+                crop_size,
+            ) = F.compute_crop_with_keep_fov_parametric(
+                base_mode,
+                delta_params_full,
+                width,
+                height,
+                keep_fov_clamped,
+                safety_margin_px,
+                interrupt_check=interrupt_check,
+                return_masks=False,
+            )
+            (
+                final_matrices,
+                _content_masks,
+                crop_origin,
+                crop_size,
+                keep_fov_effective_value,
+            ) = F.refine_no_padding_crop(
+                final_matrices,
+                width,
+                height,
+                safety_shrink_px=1,
+                interrupt_check=interrupt_check,
+            )
     elif fast is not None:
         apply_matrices = fast["apply_matrices"]
         final_matrices = fast["final_matrices"]

@@ -99,7 +99,7 @@ def main():
     total_pts = ((540 + FL.SAMPLE_STEP - 1) // FL.SAMPLE_STEP) * ((960 + FL.SAMPLE_STEP - 1) // FL.SAMPLE_STEP)
     def s_traj():
         out = FP._traj_program(
-            jnp.float32(0.8), *fits, kind="flow", mode="similarity",
+            jnp.float32(0.8), jnp.float32(1.0), *fits, kind="flow", mode="similarity",
             want_persp=False, camera_lock=False, window=window,
             width=w, height=h, scale_xy=(0.5, 0.5), total_pts=total_pts,
             plan=plan_key, framing="crop_and_pad", bucket=None)

@@ -133,11 +133,64 @@ def test_fastpath_replay_round_trip(fastpath_on):
     assert dm.max() < 1e-3
 
 
-def test_fastpath_falls_back_for_crop_framing(fastpath_on):
-    """crop must keep the exact host path (and still work)."""
+@pytest.mark.parametrize("kf,mode", [(0.6, "similarity"),
+                                     (0.85, "similarity"),
+                                     (0.0, "similarity"),
+                                     (0.6, "perspective")])
+def test_fastpath_crop_matches_host_solver(fastpath_on, monkeypatch, kf, mode):
+    """Crop framing runs the device keep_fov solver + no-padding refine
+    (models/fastpath.py::_traj_program crop branch + _crop_finalize) and
+    must reproduce the host solver's statuses and geometry.  The binary
+    search midpoints are dyadic (exact in f32) so the selected scale is
+    bit-equal unless a ratio comparison lands within f32 noise of the
+    target; the refine rectangle is pure int32 and may differ by a pixel
+    only where the f32 coverage mask flips a border pixel."""
+    frames = _shaken_clip(seed=11)
+    res_fast = _run(frames, framing_mode="crop", keep_fov=kf,
+                    transform_mode=mode)
+    assert fastpath_on["n"] == 1, "crop fast path did not run"
+    monkeypatch.setenv("CVST_FASTPATH", "0")
+    res_host = _run(frames, framing_mode="crop", keep_fov=kf,
+                    transform_mode=mode)
+
+    ff = res_fast.meta["framing"]
+    fh = res_host.meta["framing"]
+    assert set(ff.keys()) == set(fh.keys())
+    assert ff["keep_fov_status"] == fh["keep_fov_status"]
+    assert ff["keep_fov_effective"] == fh["keep_fov_effective"]
+    assert ff.get("keep_fov_note") == fh.get("keep_fov_note")
+    np.testing.assert_allclose(ff["stabilization_scale"],
+                               fh["stabilization_scale"], atol=1e-3)
+    np.testing.assert_allclose(ff["crop_origin"], fh["crop_origin"], atol=2.0)
+    np.testing.assert_allclose(ff["crop_size"], fh["crop_size"], atol=3.0)
+
+    fa = np.array([f["applied_matrix"]
+                   for f in res_fast.meta["stabilization_warp"]["per_frame"]])
+    ha = np.array([f["applied_matrix"]
+                   for f in res_host.meta["stabilization_warp"]["per_frame"]])
+    # the crop matrix scales translations by ~width/crop_w; compare at
+    # pixel scale
+    np.testing.assert_allclose(fa, ha, atol=5e-2)
+
+    df = np.asarray(res_fast.frames, np.float32)
+    dh = np.asarray(res_host.frames, np.float32)
+    # a +-1 px rectangle difference moves edge pixels; gate the bulk
+    assert np.quantile(np.abs(df - dh), 0.99) < 2e-2, \
+        float(np.quantile(np.abs(df - dh), 0.99))
+
+    # the whole point of crop framing: no padding in the output
+    assert res_fast.meta["padding_fraction_max"] <= \
+        res_host.meta["padding_fraction_max"] + 1e-4
+
+
+def test_fastpath_crop_defers_keep_fov_bypass(fastpath_on):
+    """keep_fov~=1 returns original frames through the host bypass; the
+    fast path must not engage (models/stabilize.py crop early-out)."""
     frames = _shaken_clip(n=6, seed=7)
-    res = _run(frames, framing_mode="crop")
-    assert fastpath_on["n"] == 0, "fast path must not engage for crop"
+    res = _run(frames, framing_mode="crop", keep_fov=1.0)
+    assert fastpath_on["n"] == 0, "fast path must not engage for keep_fov~=1"
+    assert res.meta["framing"]["mode"] == "crop"
+    np.testing.assert_array_equal(np.asarray(res.frames, np.float32), frames)
     assert res.meta["padding_fraction_max"] <= 1e-6
 
 
