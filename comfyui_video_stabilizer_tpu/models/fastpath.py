@@ -976,18 +976,29 @@ def _dispatch_and_collect(
             width=width, height=height, iters=max(1, hi0).bit_length() + 1,
         )
         out = {**out, "final": crop_fin["final"], "coeffs": crop_fin["coeffs"]}
-    # crop/crop_and_pad: stats queued before the warp so their fetch
+    # crop_and_pad: stats queued before the warp so their fetch
     # overlaps warp compute.  expand: stats queued AFTER the warp —
     # at 1080p/96f the bucket mask (~1 GB) on top of the warp's peak
     # live set (source + padded planar + planar & NHWC bucket outputs,
-    # ~11 GB) exhausts HBM if it is alive during the warp.
-    if framing != "expand":
+    # ~11 GB) exhausts HBM if it is alive during the warp.  crop: stats
+    # AND warp dispatch from the fetched host matrices below — the
+    # refined matrices carry the aspect-crop zoom, so the warp needs the
+    # host planner's full K/tile ladder (the speculative plan cannot
+    # hold, and the XLA gather fallback measured 5.8 f/s at 1080p/64f vs
+    # the planned Pallas warp's ~550).  Crop therefore pays ONE serial
+    # diagnostics round trip before its warp; everything upstream
+    # (estimation, solver, refine) still runs zero-sync.
+    if framing not in ("expand", "crop"):
         masks, ratios = W._padding_stats_xla(
             out["coeffs"], out_h_b, out_w_b, height, width
         )
+    elif framing == "crop":
+        ratios = np.zeros(int(frames.shape[0]), np.float32)  # placeholder
     border = np.asarray(padding_rgb, np.float32) / 255.0
     use_pallas = W._use_pallas("bilinear") and framing != "crop"
-    if use_pallas:
+    if framing == "crop":
+        stabilized = None  # dispatched from host matrices after the fetch
+    elif use_pallas:
         from ..ops import warp_pallas as WP
         from ..utils.meshinfo import data_shards
 
@@ -1049,7 +1060,20 @@ def _dispatch_and_collect(
 
     output_size = None
     plan_ok = bool(guard) or not use_pallas
-    if framing == "expand":
+    if framing == "crop":
+        # stats + warp from the fetched matrices through the host
+        # planner: the aspect-crop zoom fits a high-K Pallas variant for
+        # typical keep_fov targets and falls to the XLA sampler beyond
+        # the ladder — exactly the host engine's warp behavior.
+        final64 = np.asarray(final, np.float64)
+        masks, ratios_dev = W.padding_mask_stats(
+            final64, (width, height), (width, height)
+        )
+        stabilized = W.warp_clip(
+            frames, final64, (width, height), "bilinear", border
+        )
+        ratios_np = np.asarray(ratios_dev)
+    elif framing == "expand":
         out_w_e, out_h_e = int(out_wh[0]), int(out_wh[1])
         if out_w_e <= 0 or out_h_e <= 0:
             return None
