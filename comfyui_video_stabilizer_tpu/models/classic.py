@@ -64,6 +64,27 @@ def _fused_classic_fits(pts, tracked, status, seed, want_persp, n_hyp):
     return tuple(out)
 
 
+@functools.partial(jax.jit, static_argnames=("want_persp", "n_hyp"))
+def _classic_estimate_fused(grays, seed, want_persp, n_hyp):
+    """GFTT + pyramid + LK + every robust fit as ONE device program.
+
+    Dispatch fusion: through the dev tunnel every program LAUNCH costs
+    ~30 ms wall regardless of its device time (measured: the blocked
+    greedy cut the gftt scan's device work 6x and the end-to-end gftt
+    wall time did not move), so the per-stage chain — gftt, 4 pyramid
+    levels' LK jits, fits — was launch-bound at ~10 dispatches.  The
+    inner functions are themselves jitted; tracing them here inlines
+    everything into a single launch.  Used when no progress/interrupt
+    observer needs chunk-granular dispatch."""
+    pts, det_counts = LK.gftt_batch(grays[:-1])
+    pyr = LK.gaussian_pyramid(grays)
+    tracked, status = LK.lk_track(
+        [lvl[:-1] for lvl in pyr], [lvl[1:] for lvl in pyr], pts, det_counts
+    )
+    fits = _fused_classic_fits(pts, tracked, status, seed, want_persp, n_hyp)
+    return (pts, det_counts, tracked, status) + fits
+
+
 def _lk_tracks_chunked(grays, tick_pairs):
     """GFTT + pyramid + LK over all adjacent pairs, dispatched in
     32-pair chunks with a progress tick + interrupt poll between chunk
@@ -91,21 +112,36 @@ def _lk_tracks_chunked(grays, tick_pairs):
     return tuple(jnp.concatenate(xs, axis=0) for xs in zip(*parts))
 
 
+def _tracks_and_fits(grays, tick_pairs, seed, want_persp):
+    """(pts, det_counts, tracked, status), fits-tuple — fused into one
+    launch when no chunk-granular observer is attached."""
+    from .stabilize import estimation_chunk_spans
+
+    spans = estimation_chunk_spans(int(grays.shape[0]))
+    if tick_pairs is None or len(spans) == 1:
+        out = _classic_estimate_fused(
+            jnp.asarray(grays), seed, want_persp, RS.DEFAULT_HYPOTHESES
+        )
+        return out[:4], out[4:]
+    pts, det_counts, tracked, status = _lk_tracks_chunked(grays, tick_pairs)
+    fits = _fused_classic_fits(
+        jnp.asarray(pts), tracked, status, seed, want_persp,
+        RS.DEFAULT_HYPOTHESES,
+    )
+    return (pts, det_counts, tracked, status), fits
+
+
 def classic_estimator(grays: np.ndarray, requested_mode: str, *, seed: int = 0,
                       tick_pairs=None) -> PairFits:
     n = grays.shape[0]
     b = n - 1
-    pts, det_counts, tracked, status = _lk_tracks_chunked(grays, tick_pairs)
-
     want_persp = requested_mode == "perspective"
+    (pts, det_counts, tracked, status), fits = _tracks_and_fits(
+        grays, tick_pairs, seed, want_persp
+    )
     # det_counts rides along in the estimator's single host fetch (the
     # corners themselves never leave the device)
-    fused = jax.device_get(
-        (det_counts,)
-        + _fused_classic_fits(
-            jnp.asarray(pts), tracked, status, seed, want_persp, RS.DEFAULT_HYPOTHESES
-        )
-    )
+    fused = jax.device_get((det_counts,) + fits)
     it = iter(fused)
     det_counts = np.asarray(next(it))
     surv_counts = np.asarray(next(it))

@@ -648,6 +648,59 @@ def _crop_finalize(final_pre, crop_w_table, *, width, height, iters):
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad_y", "pad_x", "fy", "fx", "step_local", "finest",
+                     "model", "dec", "n_hyp", "mode", "want_persp",
+                     "camera_lock", "window", "width", "height", "scale_xy",
+                     "total_pts", "plan"),
+)
+def _flow_fused_program(frames, pts_grid, strength, keep_fov, seed, *,
+                        pad_y, pad_x, fy, fx, step_local, finest, model, dec,
+                        n_hyp, mode, want_persp, camera_lock, window, width,
+                        height, scale_xy, total_pts, plan):
+    """The WHOLE Flow crop_and_pad fast path as ONE device launch:
+    ingest, DIS fit-grid flow, RANSAC fits, trajectory + framing,
+    padding stats, speculative Pallas warp.
+
+    Dispatch fusion: through the dev tunnel each program launch/sync
+    interaction costs ~30 ms wall regardless of device time; the
+    multi-launch fast path (~6 programs) paid that per stage, which
+    both inflated single-call latency (measured 250 ms wall on ~100 ms
+    of device work at 1080p/80f) and let congestion episodes scatter
+    the sustained-bench windows.  The inner functions are all jitted;
+    tracing them here inlines the pipeline into one program.  The
+    Pallas warp stays a separate launch: inlining it too ballooned the
+    XLA optimization pass past a 30-minute compile (everything else
+    compiles in minutes and persists in the compile cache).  Returns
+    the padded planar source alongside the outputs so the caller can
+    dispatch the warp immediately.  Used when no chunk-granular
+    progress observer is attached and no mesh is active (the sharded
+    path keeps per-stage GSPMD programs).
+    """
+    from ..ops import flow_dis as FD
+    from ..ops import warp as W
+    from ..ops import warp_pallas as WP
+    from . import flow as FL
+
+    padded, grays = _ingest(frames, pad_y, pad_x, fy, fx)
+    samples = FD.dis_flow_fit(grays, step_local, finest_scale=finest,
+                              model=model)
+    if dec > 1:
+        samples = samples * float(dec)
+    fits = FL._fused_fits_sampled(samples, pts_grid, seed, want_persp, n_hyp)
+    out = _traj_program(
+        strength, keep_fov, *fits,
+        kind="flow", mode=mode, want_persp=want_persp,
+        camera_lock=camera_lock, window=window, width=width, height=height,
+        scale_xy=scale_xy, total_pts=total_pts, plan=plan,
+        framing="crop_and_pad", bucket=None,
+    )
+    masks, ratios = W._padding_stats_xla(out["coeffs"], height, width,
+                                         height, width)
+    return out, masks, ratios, padded
+
+
 # ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------
@@ -769,6 +822,78 @@ def run_flow_fast(
         plan = _speculative_plan(out_h_b, out_w_b, height, width,
                                  affine=not want_persp)
         factors = _gray_pool_factors(width, height, working_size, decimation)
+    # fully-fused single-launch path (see _flow_fused_program): no
+    # progress observer, recenter framing, pool-factor ingest, no mesh.
+    # CVST_FUSED=0 opts out (e.g. to avoid the one-time mega-program
+    # compile on a cold cache).
+    keep_fov_c = float(np.clip(keep_fov, 0.0, 1.0))
+    if (tick_pairs is None and framing == "crop_and_pad"
+            and factors is not None and W._use_pallas("bilinear")
+            and os.environ.get("CVST_FUSED", "1") not in ("0", "false")):
+        from ..utils.meshinfo import active_abstract_mesh
+
+        if active_abstract_mesh() is None:
+            gh = height // factors[0]
+            gw = width // factors[1]
+            h_work = gh * decimation
+            w_work = gw * decimation
+            strength_c = float(np.clip(strength, 0.0, 1.0))
+            smooth_c = float(np.clip(smooth, 0.0, 1.0))
+            if camera_lock:
+                smooth_c = max(smooth_c, 0.85)
+            window = G.smoothing_window(smooth_c, fps) if smooth_c > 0.0 else 0
+            scale_xy = ((working_size[0] / float(width),
+                         working_size[1] / float(height))
+                        if working_size is not None else (1.0, 1.0))
+            total_pts = (
+                ((h_work + FL.SAMPLE_STEP - 1) // FL.SAMPLE_STEP)
+                * ((w_work + FL.SAMPLE_STEP - 1) // FL.SAMPLE_STEP)
+            )
+            plan_key = (plan["k"], plan["th"], plan["tw"], plan["n_th"],
+                        plan["n_tw"], plan["sub"], plan["margin"],
+                        plan["extra"])
+            warp_kw = dict(
+                out_h=out_h_b, out_w=out_w_b, th=plan["th"], tw=plan["tw"],
+                wh=plan["wh"], ww=plan["ww"], k=plan["k"],
+                n_th=plan["n_th"], n_tw=plan["n_tw"], in_h=height,
+                in_w=width, pad_y=plan["pad_y"], pad_x=plan["pad_x"],
+                channels=3, interp="bilinear", affine=not want_persp,
+                pre_padded=True, planar=False,
+            )
+            border = np.asarray(padding_rgb, np.float32) / 255.0
+            try:
+                out, masks, ratios, padded = _flow_fused_program(
+                    frames, FL._grid_points(h_work, w_work, FL.SAMPLE_STEP),
+                    jnp.float32(strength_c), jnp.float32(keep_fov_c), seed,
+                    pad_y=plan["pad_y"], pad_x=plan["pad_x"],
+                    fy=factors[0], fx=factors[1],
+                    step_local=FL.SAMPLE_STEP // decimation,
+                    finest=0 if decimation > 1 else FD.FINEST_SCALE,
+                    model="homography" if want_persp else "similarity",
+                    dec=decimation, n_hyp=RS.DEFAULT_HYPOTHESES,
+                    mode=transform_mode, want_persp=want_persp,
+                    camera_lock=camera_lock, window=window, width=width,
+                    height=height, scale_xy=scale_xy, total_pts=total_pts,
+                    plan=plan_key,
+                )
+                from ..ops import warp_pallas as WP
+
+                stabilized = WP._warp_pallas_call(
+                    padded, out["coeffs"].reshape(-1), jnp.asarray(border),
+                    **warp_kw,
+                )
+            except Exception:
+                return None  # host path runs the full fallback chain
+            return _dispatch_and_collect(
+                frames, out, plan, want_persp, width, height, padding_rgb,
+                extra_meta={"flow_backend": "DIS",
+                            "flow_fallback_reason": None},
+                strength_c=strength_c, smooth_c=smooth_c, has_resid=True,
+                framing=framing, out_dims=(out_h_b, out_w_b),
+                keep_fov_c=keep_fov_c,
+                precomputed=(masks, ratios, stabilized),
+            )
+
     if factors is not None and W._use_pallas("bilinear"):
         pre_padded, grays = _ingest(frames, plan["pad_y"], plan["pad_x"],
                                     factors[0], factors[1])
@@ -815,7 +940,6 @@ def run_flow_fast(
     plan_key = None if plan is None else (
         plan["k"], plan["th"], plan["tw"], plan["n_th"], plan["n_tw"],
         plan["sub"], plan["margin"], plan["extra"])
-    keep_fov_c = float(np.clip(keep_fov, 0.0, 1.0))
 
     out = _traj_program(
         jnp.float32(strength_c), jnp.float32(keep_fov_c), *fits,
@@ -892,14 +1016,11 @@ def run_classic_fast(
         grays = R.gray_for_estimation(frames, working_size,
                                       decimation=decimation)
     try:
-        # chunked dispatch with progress/interrupt polls between chunks
-        # (see models/classic.py::_lk_tracks_chunked)
-        pts, det_counts, tracked, status = CL._lk_tracks_chunked(
-            grays, tick_pairs
-        )
-        fits = CL._fused_classic_fits(
-            jnp.asarray(pts), tracked, status, seed, want_persp,
-            RS.DEFAULT_HYPOTHESES,
+        # one fused launch (gftt + pyramid + LK + fits); chunked
+        # dispatch with progress/interrupt polls when observed
+        # (see models/classic.py::_tracks_and_fits)
+        (pts, det_counts, tracked, status), fits = CL._tracks_and_fits(
+            grays, tick_pairs, seed, want_persp
         )
     except Exception:
         return None
@@ -957,11 +1078,13 @@ def _slice_transpose_planar(x, h, w):
 def _dispatch_and_collect(
     frames, out, plan, want_persp, width, height, padding_rgb, *,
     extra_meta, strength_c, smooth_c, has_resid, pre_padded=None,
-    framing="crop_and_pad", out_dims=None, keep_fov_c=1.0,
+    framing="crop_and_pad", out_dims=None, keep_fov_c=1.0, precomputed=None,
 ):
     """Queue stats + the speculative warp, then do the single
     (warp-overlapped) diagnostics fetch and build the host-value dict
-    the engine's meta assembly consumes."""
+    the engine's meta assembly consumes.  ``precomputed`` carries
+    (masks, ratios, stabilized) already emitted by a fused program
+    (_flow_fused_program) — the fetch/guard/meta logic is shared."""
     from ..ops import warp as W
 
     out_h_b, out_w_b = out_dims if out_dims is not None else (height, width)
@@ -988,7 +1111,9 @@ def _dispatch_and_collect(
     # the planned Pallas warp's ~550).  Crop therefore pays ONE serial
     # diagnostics round trip before its warp; everything upstream
     # (estimation, solver, refine) still runs zero-sync.
-    if framing not in ("expand", "crop"):
+    if precomputed is not None:
+        masks, ratios, stabilized = precomputed
+    elif framing not in ("expand", "crop"):
         masks, ratios = W._padding_stats_xla(
             out["coeffs"], out_h_b, out_w_b, height, width
         )
@@ -996,7 +1121,9 @@ def _dispatch_and_collect(
         ratios = np.zeros(int(frames.shape[0]), np.float32)  # placeholder
     border = np.asarray(padding_rgb, np.float32) / 255.0
     use_pallas = W._use_pallas("bilinear") and framing != "crop"
-    if framing == "crop":
+    if precomputed is not None:
+        pass  # stats + warp already emitted by the fused program
+    elif framing == "crop":
         stabilized = None  # dispatched from host matrices after the fetch
     elif use_pallas:
         from ..ops import warp_pallas as WP

@@ -89,14 +89,33 @@ _SCHARR_LK_Y = _SCHARR_LK_X.T
 _PYR_K = np.outer([1, 4, 6, 4, 1], [1, 4, 6, 4, 1]).astype(np.float32) / 256.0
 
 
+def _box_sum(stack: jnp.ndarray, size: int) -> jnp.ndarray:
+    """size x size box sum, 'SAME' with reflect-101 edges, via prefix
+    sums: 2 passes per axis instead of `size` shift-adds — the 21x21
+    structure-tensor aggregation was ~41 ms of the Classic path at 63
+    pairs of 960x540 grays (126 shift-add passes over three arrays);
+    the integral form is ~4 passes per array.  Values match the
+    shift-add box up to f32 summation-order rounding (~1e-6 relative),
+    which only reorders exact score ties."""
+    ph = size // 2
+    p = jnp.pad(stack, ((0, 0), (ph, ph), (ph, ph)), mode="reflect")
+    c = jnp.cumsum(p, axis=1)
+    rows = c[:, size - 1 :, :] - jnp.concatenate(
+        [jnp.zeros_like(c[:, :1]), c[:, : -size]], axis=1
+    )
+    c2 = jnp.cumsum(rows, axis=2)
+    return c2[:, :, size - 1 :] - jnp.concatenate(
+        [jnp.zeros_like(c2[:, :, :1]), c2[:, :, : -size]], axis=2
+    )
+
+
 @jax.jit
 def _min_eig_map(stack: jnp.ndarray) -> jnp.ndarray:
     dx = _conv2(stack, _SOBEL_X)
     dy = _conv2(stack, _SOBEL_Y)
-    box = np.ones((BLOCK_SIZE, BLOCK_SIZE), np.float32)
-    a = _conv2(dx * dx, box)
-    b = _conv2(dx * dy, box)
-    c = _conv2(dy * dy, box)
+    a = _box_sum(dx * dx, BLOCK_SIZE)
+    b = _box_sum(dx * dy, BLOCK_SIZE)
+    c = _box_sum(dy * dy, BLOCK_SIZE)
     return 0.5 * ((a + c) - jnp.sqrt((a - c) ** 2 + 4.0 * b * b))
 
 
@@ -123,19 +142,31 @@ def _topk_packed(grays, k):
     return jnp.where(ok, top_idx, -1).astype(jnp.int32)
 
 
+_GREEDY_BLOCK = 16  # candidates resolved per scan step
+
+
 @functools.partial(jax.jit, static_argnames=("w", "max_corners", "min_distance"))
 def _greedy_device(top_idx, w, max_corners, min_distance):
     """Score-descending greedy min-distance acceptance ON DEVICE.
 
-    One lax.scan step per candidate, vectorized over frames x accepted
-    slots; a candidate is accepted iff its squared distance to every
-    previously accepted corner is >= min_distance^2 — the exact
-    acceptance order and ties of the host/native greedy (equality
-    asserted in tests/test_classic.py).  Keeping this on device means
-    the corner list never leaves the chip (the dev tunnel charged more
-    for the 0.5 MB candidate fetch than the whole scoring pass cost).
+    Exact sequential-greedy semantics (a candidate is accepted iff its
+    squared distance to every previously accepted corner is >=
+    min_distance^2, score order; equality vs the host/native greedy is
+    asserted in tests/test_classic.py), resolved _GREEDY_BLOCK
+    candidates per lax.scan step: each step checks the whole block
+    against the accepted set in one batched distance pass, resolves the
+    intra-block dependencies with an unrolled triangular sweep (tiny —
+    (bsz,)-vector ops), and scatters the block's winners into their
+    slots.  The candidate-per-step scan ran 2048 sequential steps whose
+    per-step overhead dominated (measured ~69 ms of the Classic path at
+    1080p; blocked: a few ms).  Keeping this on device means the corner
+    list never leaves the chip (the dev tunnel charged more for the
+    0.5 MB candidate fetch than the whole scoring pass cost).
     """
-    bsz, _k = top_idx.shape
+    bsz, k = top_idx.shape
+    q = _GREEDY_BLOCK
+    kp = -(-k // q) * q
+    top_idx = jnp.pad(top_idx, ((0, 0), (0, kp - k)), constant_values=-1)
     valid = top_idx >= 0
     ys = (top_idx // w).astype(jnp.float32)
     xs = (top_idx - (top_idx // w) * w).astype(jnp.float32)
@@ -144,17 +175,33 @@ def _greedy_device(top_idx, w, max_corners, min_distance):
 
     def step(carry, inp):
         acc_y, acc_x, n_acc = carry
-        y, x, v = inp
-        d2 = (acc_y - y[:, None]) ** 2 + (acc_x - x[:, None]) ** 2
-        ok = v & (jnp.min(d2, axis=1) >= min_d2) & (n_acc < max_corners)
-        put = (slot_iota == n_acc[:, None]) & ok[:, None]
-        acc_y = jnp.where(put, y[:, None], acc_y)
-        acc_x = jnp.where(put, x[:, None], acc_x)
-        return (acc_y, acc_x, n_acc + ok.astype(jnp.int32)), None
+        y, x, v = inp                                  # (q, bsz) each
+        # block vs already-accepted set: one batched pass
+        d2 = ((acc_y[None] - y[:, :, None]) ** 2
+              + (acc_x[None] - x[:, :, None]) ** 2)    # (q, bsz, maxc)
+        ok_acc = v & (jnp.min(d2, axis=2) >= min_d2)   # (q, bsz)
+        # intra-block triangular resolve: candidate j also rejects on
+        # an ACCEPTED earlier candidate i<j closer than min_distance
+        flags = []
+        offs = jnp.zeros(bsz, jnp.int32)
+        for j in range(q):
+            ok_j = ok_acc[j] & (n_acc + offs < max_corners)
+            for i in range(j):
+                d2ij = (y[i] - y[j]) ** 2 + (x[i] - x[j]) ** 2
+                ok_j = ok_j & (~flags[i] | (d2ij >= min_d2))
+            slot_j = n_acc + offs
+            put = (slot_iota == slot_j[:, None]) & ok_j[:, None]
+            acc_y = jnp.where(put, y[j][:, None], acc_y)
+            acc_x = jnp.where(put, x[j][:, None], acc_x)
+            flags.append(ok_j)
+            offs = offs + ok_j.astype(jnp.int32)
+        return (acc_y, acc_x, n_acc + offs), None
 
     far = jnp.full((bsz, max_corners), 1.0e9, jnp.float32)
     (acc_y, acc_x, n_acc), _ = jax.lax.scan(
-        step, (far, far, jnp.zeros(bsz, jnp.int32)), (ys.T, xs.T, valid.T)
+        step, (far, far, jnp.zeros(bsz, jnp.int32)),
+        (ys.T.reshape(kp // q, q, bsz), xs.T.reshape(kp // q, q, bsz),
+         valid.T.reshape(kp // q, q, bsz)),
     )
     used = slot_iota < n_acc[:, None]
     pts = jnp.stack(
