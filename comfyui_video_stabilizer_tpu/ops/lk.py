@@ -128,14 +128,27 @@ def _nms_candidates(eig: jnp.ndarray):
     return scores
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _topk_packed(grays, k):
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def _topk_packed(grays, k, use_pallas=False):
     """NMS + top-k candidate indices with validity packed as -1.
 
     One int32 array leaves the device (the scores were only ever used
     for the finite/positive filter, and the dev tunnel charges ~50 ms/MB
-    for the float payload)."""
-    scores = _nms_candidates(_min_eig_map(jnp.asarray(grays, jnp.float32)))
+    for the float payload).  ``use_pallas`` swaps the box/min-eig/NMS
+    scoring for the fused VMEM kernel (ops/gftt_pallas.py) — same
+    contract, f32 summation-order differences only (~1e-6 relative,
+    reorders exact ties at most)."""
+    if use_pallas:
+        from . import gftt_pallas as GP
+
+        g = jnp.asarray(grays, jnp.float32)
+        dx = _conv2(g, _SOBEL_X)
+        dy = _conv2(g, _SOBEL_Y)
+        raw = GP.gftt_scores(dx * dx, dx * dy, dy * dy)
+        quality = jnp.max(raw.reshape(raw.shape[0], -1), axis=-1) * QUALITY_LEVEL
+        scores = jnp.where(raw > quality[:, None, None], raw, -jnp.inf)
+    else:
+        scores = _nms_candidates(_min_eig_map(jnp.asarray(grays, jnp.float32)))
     flat = scores.reshape(scores.shape[0], -1)
     top_vals, top_idx = jax.lax.top_k(flat, k)
     ok = jnp.isfinite(top_vals) & (top_vals > 0)
@@ -222,7 +235,10 @@ def gftt_batch(grays, max_corners: int = MAX_CORNERS):
     """
     B, H, W = grays.shape
     k = min(2048, H * W)
-    return _greedy_device(_topk_packed(grays, k), W, max_corners, MIN_DISTANCE)
+    return _greedy_device(
+        _topk_packed(grays, k, use_pallas=_use_pallas_lk()),
+        W, max_corners, MIN_DISTANCE,
+    )
 
 
 def gftt_batch_host(grays, max_corners: int = MAX_CORNERS):
